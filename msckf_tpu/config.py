@@ -1,0 +1,189 @@
+"""Filter configuration.
+
+TPU-native equivalent of ``MSCKFParameters`` (`/root/reference/src/msckf/MSCKF.py:14-68`).
+The config is a frozen, hashable dataclass so it can be passed as a static
+argument to ``jax.jit``: numeric matrices (K, extrinsics, gravity) are stored
+as nested tuples and materialized to arrays on demand (XLA constant-folds
+them). Buffer capacities (camera slots, track slots, observation window) are
+part of the config because they fix every array shape in the filter state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _t3x3(m) -> Tuple[Tuple[float, ...], ...]:
+    a = np.asarray(m, dtype=np.float64)
+    return tuple(tuple(float(x) for x in row) for row in a)
+
+
+def _t3(v) -> Tuple[float, ...]:
+    return tuple(float(x) for x in np.asarray(v, dtype=np.float64))
+
+
+# Reference default camera extrinsics (`MSCKF.py:18-20`): camera z forward,
+# x right, y down, expressed in the world/IMU frame.
+_DEFAULT_R_WC = ((0.0, 0.0, 1.0), (-1.0, 0.0, 0.0), (0.0, -1.0, 0.0))
+_DEFAULT_K = ((180.0, 0.0, 320.0), (0.0, 180.0, 240.0), (0.0, 0.0, 1.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class MSCKFConfig:
+    # --- camera (`MSCKF.py:17-26`) ---
+    R_WC: Tuple[Tuple[float, ...], ...] = _DEFAULT_R_WC
+    t_WC: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    K: Tuple[Tuple[float, ...], ...] = _DEFAULT_K
+    width: int = 640
+    height: int = 480
+    sigma_image: float = 0.2
+
+    # --- IMU (`MSCKF.py:28-34`) ---
+    only_imu: bool = False
+    accelerometer_noise_density: float = 0.001
+    accelerometer_random_walk: float = 0.00001
+    gyroscope_noise_density: float = 0.0001
+    gyroscope_random_walk: float = 0.000001
+    gravity: Tuple[float, ...] = (0.0, 0.0, -9.81)
+
+    # --- features (`MSCKF.py:36-45`) ---
+    number_of_extracted_features: int = 256
+    min_cosine_similarity: float = 0.82
+    use_parallax: bool = True
+    min_parallax_deg: float = 20.0
+    epipolar_rejection_threshold: float = 5.0
+    homography_rejection_threshold: float = 5.0
+    min_frames_to_be_lost: int = 1  # clamped >= 1 (`MSCKF.py:119`)
+    min_frames_to_be_tracked: int = 5  # clamped >= 2 (`MSCKF.py:120`)
+    max_camera_states: int = 30
+
+    # --- TPU build: fixed buffer capacities (shape-defining, static) ---
+    # Camera slots: the window transiently holds max_camera_states + 1 poses
+    # (augmentation precedes pruning, `MSCKF.py:153-158`), so slots must be
+    # at least max+1. 32 keeps the covariance dimension 15 + 6*32 = 207.
+    n_cam_slots: int = 32
+    # Observations per track: one per live camera, <= n_cam_slots.
+    m_max: int = 32
+    # Live track slots. Reference track churn tops out well below this for
+    # 300 keypoints/frame; overflow is counted, never silently dropped.
+    f_max: int = 768
+    # Extracted keypoints per frame (>= number_of_extracted_features).
+    k_max: int = 512
+    # Descriptor dim (64 for XFeat, 10 for the synthetic fixture; padded
+    # with zeros, which leaves dot-product cosine similarity unchanged).
+    desc_dim: int = 64
+    # Max features gathered into one EKF update batch (reference has no cap;
+    # overflow is counted).
+    u_max: int = 128
+
+    # --- numerics ---
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        object.__setattr__(self, "R_WC", _t3x3(self.R_WC))
+        object.__setattr__(self, "t_WC", _t3(self.t_WC))
+        object.__setattr__(self, "K", _t3x3(self.K))
+        object.__setattr__(self, "gravity", _t3(self.gravity))
+        # reference clamps (`MSCKF.py:119-120`)
+        object.__setattr__(
+            self, "min_frames_to_be_lost", max(self.min_frames_to_be_lost, 1)
+        )
+        object.__setattr__(
+            self, "min_frames_to_be_tracked", max(self.min_frames_to_be_tracked, 2)
+        )
+        assert self.n_cam_slots > self.max_camera_states
+        assert self.m_max <= self.n_cam_slots
+
+    # --- derived (static python ints / numpy consts) ---
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def err_dim(self) -> int:
+        """Padded error-state dimension: 15 IMU + 6 per camera slot."""
+        return 15 + 6 * self.n_cam_slots
+
+    @cached_property
+    def K_np(self) -> np.ndarray:
+        return np.asarray(self.K, dtype=np.float64)
+
+    @cached_property
+    def K_inv_np(self) -> np.ndarray:
+        return np.linalg.inv(self.K_np)
+
+    @cached_property
+    def R_WC_np(self) -> np.ndarray:
+        return np.asarray(self.R_WC, dtype=np.float64)
+
+    @cached_property
+    def t_WC_np(self) -> np.ndarray:
+        return np.asarray(self.t_WC, dtype=np.float64)
+
+    @cached_property
+    def gravity_np(self) -> np.ndarray:
+        return np.asarray(self.gravity, dtype=np.float64)
+
+    @cached_property
+    def noise_cov_diag_np(self) -> np.ndarray:
+        """Diagonal of the 12x12 continuous noise covariance (`MSCKF.py:99-104`):
+        [sigma_g^2 I, sigma_bg^2 I, sigma_a^2 I, sigma_ba^2 I]."""
+        return np.repeat(
+            np.array(
+                [
+                    self.gyroscope_noise_density**2,
+                    self.gyroscope_random_walk**2,
+                    self.accelerometer_noise_density**2,
+                    self.accelerometer_random_walk**2,
+                ]
+            ),
+            3,
+        )
+
+    @cached_property
+    def chi2_table_np(self) -> np.ndarray:
+        """chi2.ppf(0.95, dof) for dof = 0..2*m_max (`MSCKF.py:561-568`).
+
+        dof=0 entry is NaN, matching scipy — which makes the reference's
+        gating test fail for rank-deficient single-observation tracks
+        (0 <= nan is False); our projector-form update makes those features
+        contribute exactly zero either way.
+        """
+        from scipy.stats import chi2
+
+        dof = np.arange(0, 2 * self.m_max + 1)
+        with np.errstate(invalid="ignore"):
+            t = chi2.ppf(0.95, dof)
+        return t
+
+
+def reference_experiment_config(**overrides) -> MSCKFConfig:
+    """The driver's experiment configuration (`/root/reference/main.py:182-208`)."""
+    base = dict(
+        sigma_image=0.1,
+        number_of_extracted_features=300,
+        min_cosine_similarity=0.95,
+        use_parallax=True,
+        min_parallax_deg=45.0,
+        epipolar_rejection_threshold=0.005,
+        homography_rejection_threshold=5.0,
+        min_frames_to_be_tracked=4,
+        min_frames_to_be_lost=2,
+        max_camera_states=30,
+    )
+    base.update(overrides)
+    return MSCKFConfig(**base)
+
+
+NOISE_PRESETS = {
+    # (accel_nd, gyro_nd, accel_rw, gyro_rw)  (`main.py:139-160`)
+    "high": (0.01, 0.001, 0.001, 0.0001),
+    "mid": (0.005, 0.0005, 0.0005, 0.00005),
+    "low": (0.001, 0.0001, 0.0001, 0.00001),
+}

@@ -1,0 +1,118 @@
+"""Sliding-window management: camera marginalization and pruning.
+
+Rebuilds `/root/reference/src/msckf/MSCKF.py:710-791`. The reference deletes
+covariance rows/columns with ``np.delete`` (a reshape); here removal is a
+gather with a compaction permutation over the padded buffers — surviving
+cameras keep their insertion order, vacated slots are zeroed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from msckf_tpu.config import MSCKFConfig
+from msckf_tpu.filter.state import FilterState
+from msckf_tpu.filter.tracks import compact_observations, resolve_cam_slots
+from msckf_tpu.filter.update import ekf_update, triage_features
+
+
+def remove_cameras(cfg: MSCKFConfig, state: FilterState, victim: jnp.ndarray) -> FilterState:
+    """Marginalize the cameras marked in ``victim`` (slot mask).
+
+    Equivalent to `MSCKF.py:751-779`: delete the 6 covariance rows/cols per
+    victim (here: permute-compact and zero the tail), drop each victim's
+    observations from every track (order-preserving), and delete emptied
+    tracks.
+    """
+    N, D = cfg.n_cam_slots, cfg.err_dim
+    cams = state.cams
+    victim = victim & cams.valid
+    keep = cams.valid & ~victim
+
+    # compaction permutation over camera slots (kept slots first, in order)
+    kept_order = jnp.sort(jnp.where(keep, jnp.arange(N), N))  # (N,)
+    src = jnp.clip(kept_order, 0, N - 1)
+    n_new = jnp.sum(keep).astype(jnp.int32)
+    slot_live = jnp.arange(N) < n_new
+
+    new_cams = cams.replace(
+        R=jnp.where(slot_live[:, None, None], cams.R[src], jnp.eye(3, dtype=cams.R.dtype)),
+        t=jnp.where(slot_live[:, None], cams.t[src], 0.0),
+        cam_id=jnp.where(slot_live, cams.cam_id[src], -1),
+        valid=slot_live,
+        n=n_new,
+    )
+
+    # covariance permutation: rows/cols [0:15] + 6 per kept camera, tail zeroed
+    cam_rows = (15 + 6 * src[:, None] + jnp.arange(6)[None, :]).reshape(-1)  # (6N,)
+    ix = jnp.concatenate([jnp.arange(15), cam_rows])  # (D,)
+    live_rows = jnp.concatenate(
+        [jnp.ones(15, dtype=bool), jnp.repeat(slot_live, 6)]
+    )
+    P = state.P[ix][:, ix]
+    P = jnp.where(live_rows[:, None] & live_rows[None, :], P, 0.0)
+
+    # drop observations of victim cameras from every track (`MSCKF.py:760-769`)
+    slots, found = resolve_cam_slots(state.tracks.obs_cam_id, cams.cam_id)
+    obs_is_victim = found & victim[slots]
+    tracks = compact_observations(state.tracks, ~obs_is_victim)
+
+    return state.replace(cams=new_cams, P=P, tracks=tracks)
+
+
+def cameras_without_features(cfg: MSCKFConfig, state: FilterState) -> jnp.ndarray:
+    """Slot mask of active cameras observed by no live track (`MSCKF.py:781-791`)."""
+    slots, found = resolve_cam_slots(state.tracks.obs_cam_id, state.cams.cam_id)
+    obs_live = state.tracks.valid[:, None] & state.tracks.obs_valid & found
+    counts = jnp.zeros(cfg.n_cam_slots, dtype=jnp.int32).at[
+        jnp.where(obs_live, slots, cfg.n_cam_slots)
+    ].add(1, mode="drop")
+    return state.cams.valid & (counts == 0)
+
+
+def camera_observation_counts(cfg: MSCKFConfig, state: FilterState) -> jnp.ndarray:
+    """Features-per-camera histogram (`MSCKF.py:712-716`)."""
+    slots, found = resolve_cam_slots(state.tracks.obs_cam_id, state.cams.cam_id)
+    obs_live = state.tracks.valid[:, None] & state.tracks.obs_valid & found
+    return jnp.zeros(cfg.n_cam_slots, dtype=jnp.int32).at[
+        jnp.where(obs_live, slots, cfg.n_cam_slots)
+    ].add(1, mode="drop")
+
+
+def prune_poorest_camera_states(cfg: MSCKFConfig, state: FilterState) -> FilterState:
+    """`MSCKF.py:710-737`: pick the (up to) two observed cameras with the
+    fewest feature observations, run a final update over the features that
+    observe them, then marginalize.
+
+    Tie-break divergence: the reference's stable sort keeps dict insertion
+    order (the order cameras are first encountered while iterating features);
+    we tie-break by slot (= window age) order. Counts rarely tie among the
+    poorest cameras, and the effect is bounded by which near-empty camera
+    leaves one frame earlier.
+    """
+    N = cfg.n_cam_slots
+    counts = camera_observation_counts(cfg, state)
+    eligible = state.cams.valid & (counts > 0)
+    BIG = jnp.int32(1 << 24)
+    key = jnp.where(eligible, counts * N + jnp.arange(N, dtype=jnp.int32), BIG)
+    order = jnp.argsort(key)
+    n_victims = jnp.minimum(jnp.sum(eligible), 2)
+    victim = jnp.zeros(N, dtype=bool).at[order[:2]].set(
+        jnp.arange(2) < n_victims, mode="drop"
+    )
+
+    # features observing a victim camera (`MSCKF.py:726-731`)
+    slots, found = resolve_cam_slots(state.tracks.obs_cam_id, state.cams.cam_id)
+    in_victim = found & victim[slots] & state.tracks.obs_valid
+    subset = state.tracks.valid & jnp.any(in_victim, axis=-1)
+
+    tri = triage_features(cfg, state, subset)
+    state = state.replace(tracks=tri.tracks)
+    state = lax.cond(
+        jnp.any(tri.valid),
+        lambda s: ekf_update(cfg, s, tri.valid),
+        lambda s: s,
+        state,
+    )
+    return remove_cameras(cfg, state, victim)

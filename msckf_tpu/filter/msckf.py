@@ -1,0 +1,245 @@
+"""Filter orchestration: the per-tick step and the on-device sequence scan.
+
+Rebuilds the reference control flow — ``imu_callback`` / ``feature_callback``
+(`/root/reference/src/msckf/MSCKF.py:135-158`) and the driver's sequential
+sensor loop (`/root/reference/main.py:261-305`) — as a two-level ``lax.scan``
+that keeps the entire VIO loop on device:
+
+  outer scan: camera-frame blocks
+  inner scan: the IMU ticks of each block (tick 0 carries the camera)
+
+Initialization restructure (TPU-first, exact): the reference buffers IMU
+measurements until the first image, then gravity-aligns the orientation from
+the buffer mean and *replays* the buffer through ``process_imu``
+(`MSCKF.py:135-145`, `IMU.py:43-58`). Replay is ordinary sequential
+propagation of a stream prefix, so starting the scan at tick 0 from the
+pre-computed gravity-aligned state — with the first image's camera step
+disabled (the reference skips it: IMU not yet initialized at that point,
+`MSCKF.py:150`) — produces the identical state trajectory from the
+initialization tick onward, without any data-dependent replay loop. The
+stream builder (``msckf_tpu.data.stream``) computes the alignment host-side.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from msckf_tpu.config import MSCKFConfig
+from msckf_tpu.filter.augmentation import state_augmentation
+from msckf_tpu.filter.marginalization import (
+    cameras_without_features,
+    prune_poorest_camera_states,
+    remove_cameras,
+)
+from msckf_tpu.filter.matching import fused_descriptors, mutual_match
+from msckf_tpu.filter.propagation import propagate
+from msckf_tpu.filter.state import FilterState, init_state
+from msckf_tpu.filter.tracks import extend_tracks, spawn_tracks
+from msckf_tpu.filter.update import ekf_update, triage_features
+from msckf_tpu.filter.verification import verify_matches
+
+
+def add_camera_measurements(
+    cfg: MSCKFConfig,
+    state: FilterState,
+    kp: jnp.ndarray,  # (K, 2)
+    desc: jnp.ndarray,  # (K, Dd)
+    score: jnp.ndarray,  # (K,)
+    kp_valid: jnp.ndarray,  # (K,) bool
+) -> FilterState:
+    """`MSCKF.py:268-448`: score filter, match, verify, extend/spawn tracks."""
+    dt_ = cfg.jdtype
+    kp = kp.astype(dt_)
+    desc = desc.astype(dt_)
+    score = score.astype(dt_)
+
+    # keypoint score filter: keep score >= 0.5 * mean (`MSCKF.py:281-284`)
+    n_kp = jnp.sum(kp_valid)
+    mean = jnp.sum(jnp.where(kp_valid, score, 0.0)) / jnp.maximum(n_kp, 1)
+    keep = kp_valid & (score >= 0.5 * mean)
+
+    cam_slot = state.cams.n - 1  # just augmented
+    cam_R = state.cams.R[cam_slot]
+    cam_t = state.cams.t[cam_slot]
+    cam_id = state.imu.step_id
+
+    def first_frame(st: FilterState) -> FilterState:
+        # no live tracks: every kept keypoint spawns (`MSCKF.py:291-311`)
+        return spawn_tracks(cfg, st, kp, desc, score, keep, cam_R, cam_t, cam_id)
+
+    def match_frame(st: FilterState) -> FilterState:
+        tr = st.tracks
+        fused = fused_descriptors(tr)
+        m = mutual_match(fused, tr.valid, desc, keep, cfg.min_cosine_similarity)
+
+        def do(st: FilterState) -> FilterState:
+            tr = st.tracks
+            kp2 = kp[m.track_to_kp]  # (F, 2) matched keypoint per track
+            v = verify_matches(cfg, tr, st.cams, m.track_matched, kp2, cam_R, cam_t)
+            tr = extend_tracks(
+                cfg, tr, v.accept, kp2, desc[m.track_to_kp], score[m.track_to_kp],
+                cam_R, cam_t, cam_id,
+            )
+            # rejected matches (`MSCKF.py:399-401`) and unmatched tracks
+            # (`MSCKF.py:438`) both age by one frame
+            bump = (m.track_matched & ~v.accept) | (tr.valid & ~m.track_matched)
+            tr = tr.replace(lost=tr.lost + bump.astype(tr.lost.dtype))
+            st = st.replace(
+                tracks=tr,
+                diag=st.diag.replace(
+                    n_homography_rejected=st.diag.n_homography_rejected + v.n_homo_rejected,
+                    n_epipolar_rejected=st.diag.n_epipolar_rejected + v.n_epi_rejected,
+                ),
+            )
+            # unmatched kept keypoints spawn new tracks (`MSCKF.py:414-434`)
+            return spawn_tracks(
+                cfg, st, kp, desc, score, keep & ~m.kp_matched, cam_R, cam_t, cam_id
+            )
+
+        # `if len(matched.keypoints) == 0: return` (`MSCKF.py:320`)
+        return lax.cond(m.any_match, do, lambda s: s, st)
+
+    def run(st: FilterState) -> FilterState:
+        return lax.cond(jnp.any(st.tracks.valid), match_frame, first_frame, st)
+
+    # `if len(keypoints) == 0: return` after the score filter (`MSCKF.py:286`)
+    return lax.cond(jnp.any(keep), run, lambda s: s, state)
+
+
+def process_features(cfg: MSCKFConfig, state: FilterState) -> FilterState:
+    """`MSCKF.py:450-456`: triage, update, delete lost tracks + empty cameras."""
+    tri = triage_features(cfg, state, state.tracks.valid)
+    state = state.replace(tracks=tri.tracks)
+
+    def do(st: FilterState) -> FilterState:
+        st = ekf_update(cfg, st, tri.valid)
+        # remove_features(lost) (`MSCKF.py:739-749`)
+        tr = st.tracks
+        st = st.replace(tracks=tr.replace(valid=tr.valid & ~tri.lost))
+        empty = cameras_without_features(cfg, st)
+        return remove_cameras(cfg, st, empty)
+
+    return lax.cond(jnp.any(tri.valid), do, lambda s: s, state)
+
+
+def camera_step(
+    cfg: MSCKFConfig,
+    state: FilterState,
+    kp: jnp.ndarray,
+    desc: jnp.ndarray,
+    score: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+) -> FilterState:
+    """``feature_callback`` body (`MSCKF.py:147-158`)."""
+    if cfg.only_imu:
+        return state
+    state = state_augmentation(cfg, state)
+    state = add_camera_measurements(cfg, state, kp, desc, score, kp_valid)
+    state = process_features(cfg, state)
+    state = lax.cond(
+        state.cams.n > cfg.max_camera_states,
+        lambda s: prune_poorest_camera_states(cfg, s),
+        lambda s: s,
+        state,
+    )
+    return state.replace(has_tracks=jnp.any(state.tracks.valid))
+
+
+class TickOutput(NamedTuple):
+    """Per-IMU-tick telemetry, mirroring what the driver samples each loop
+    iteration (`main.py:328-344`)."""
+
+    R_WI: jnp.ndarray  # (3, 3)
+    p_WI: jnp.ndarray  # (3,)
+    v_WI: jnp.ndarray  # (3,)
+    sigma_rot: jnp.ndarray  # (3,) diag P[0:3]
+    sigma_pos: jnp.ndarray  # (3,) diag P[12:15]
+    n_cams: jnp.ndarray  # () int32
+    n_tracks: jnp.ndarray  # () int32
+    valid: jnp.ndarray  # () bool — tick existed
+
+
+def _tick_output(state: FilterState, valid) -> TickOutput:
+    return TickOutput(
+        R_WI=state.imu.R_WI,
+        p_WI=state.imu.p_WI,
+        v_WI=state.imu.v_WI,
+        sigma_rot=jnp.diagonal(state.P[0:3, 0:3]),
+        sigma_pos=jnp.diagonal(state.P[12:15, 12:15]),
+        n_cams=state.cams.n,
+        n_tracks=jnp.sum(state.tracks.valid).astype(jnp.int32),
+        valid=valid,
+    )
+
+
+def frame_step(cfg: MSCKFConfig, state: FilterState, frame: dict):
+    """One camera-frame block: B IMU ticks, camera on tick 0 (when flagged)."""
+
+    def tick_fn(st: FilterState, tick):
+        ts, gyro, acc, valid, is_cam = tick
+
+        def prop(s):
+            return propagate(cfg, s, gyro, acc, ts)
+
+        st = lax.cond(valid, prop, lambda s: s, st)
+
+        def cam(s):
+            return camera_step(
+                cfg, s, frame["kp"], frame["desc"], frame["score"], frame["kp_valid"]
+            )
+
+        st = lax.cond(is_cam & valid, cam, lambda s: s, st)
+        return st, _tick_output(st, valid)
+
+    B = frame["imu_ts"].shape[0]
+    is_cam = jnp.zeros(B, dtype=bool).at[0].set(frame["has_camera"])
+    xs = (frame["imu_ts"], frame["imu_gyro"], frame["imu_acc"], frame["imu_valid"], is_cam)
+    return lax.scan(tick_fn, state, xs)
+
+
+def run_filter(cfg: MSCKFConfig, state: FilterState, stream: dict):
+    """Scan the filter over a whole prepared sequence on device.
+
+    ``stream`` is the dict produced by ``msckf_tpu.data.stream.build_stream``
+    with leading dims (C frames, B ticks). Returns (final_state, TickOutput
+    with shape (C, B, ...)).
+    """
+
+    def fr(st, frame):
+        return frame_step(cfg, st, frame)
+
+    return lax.scan(fr, state, stream)
+
+
+def run_sequence(cfg: MSCKFConfig, state: FilterState, prefix: dict, frames: dict):
+    """Full sequence: propagate-only prefix, then camera-frame blocks.
+
+    Returns (final_state, prefix TickOutput (Bp, ...), frame TickOutput
+    (C, B, ...)). Jit this whole function with cfg static.
+    """
+
+    def pre_tick(st: FilterState, tick):
+        ts, gyro, acc, valid = tick
+        st = lax.cond(valid, lambda s: propagate(cfg, s, gyro, acc, ts), lambda s: s, st)
+        return st, _tick_output(st, valid)
+
+    xs = (prefix["imu_ts"], prefix["imu_gyro"], prefix["imu_acc"], prefix["imu_valid"])
+    state, pre_out = lax.scan(pre_tick, state, xs)
+    state, frame_out = run_filter(cfg, state, frames)
+    return state, pre_out, frame_out
+
+
+def make_initial_state(cfg: MSCKFConfig, R_init=None) -> FilterState:
+    """Fresh state, optionally with the gravity-aligned initial orientation
+    computed by the stream builder (see module docstring)."""
+    state = init_state(cfg)
+    if R_init is not None:
+        state = state.replace(
+            imu=state.imu.replace(R_WI=jnp.asarray(R_init, dtype=cfg.jdtype)),
+            initialized=jnp.ones((), dtype=bool),
+        )
+    return state

@@ -1,0 +1,132 @@
+"""IMU nominal-state integration and OC-EKF error-state propagation.
+
+Rebuilds `/root/reference/src/msckf/IMU.py:78-100` (Rodrigues + explicit Euler
+integration) and `/root/reference/src/msckf/MSCKF.py:160-248` (F/G
+construction, 3rd-order Taylor Phi, observability-constrained fix-up,
+covariance propagation) as one pure jit-able step over the padded covariance.
+
+TPU notes:
+  * the 15x15 / 15x(D-15) covariance chains are dense matmuls — tiny for the
+    MXU; the win comes from fusing the whole step under jit inside lax.scan
+    rather than round-tripping per-tick like the reference's Python loop.
+  * planet_angular_velocity is identically zero in the reference
+    (`IMU.py:36`), so the F rows that consume it (`MSCKF.py:187-189`) drop
+    out; we omit them and document the simplification here.
+  * null states: see the aliasing analysis in ``state.py`` — null is the
+    pre-integration state, except on the very first step where it is the
+    constructor identity (`IMU.py:38-39`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from msckf_tpu.config import MSCKFConfig
+from msckf_tpu.filter.state import FilterState, ImuState
+from msckf_tpu.ops.geometry import rodrigues_unit, skew
+
+
+def integrate_nominal(imu: ImuState, acc: jnp.ndarray, gyro: jnp.ndarray,
+                      dt: jnp.ndarray, gravity: jnp.ndarray):
+    """Nominal-state integration (`IMU.py:78-100`).
+
+    acc/gyro are bias-corrected body-frame measurements. Rotation by the
+    closed-form Rodrigues increment about the (unit) gyro axis; velocity and
+    position by explicit Euler with the 1/2 a dt^2 term.
+    """
+    w_norm = jnp.linalg.norm(gyro)
+    theta = w_norm * dt
+    axis = gyro / jnp.where(w_norm < 1e-30, 1.0, w_norm)
+    dR = rodrigues_unit(axis, theta)
+    dR = jnp.where(theta > 0, dR, jnp.eye(3, dtype=dR.dtype))
+    R_new = imu.R_WI @ dR
+
+    a_world = imu.R_WI @ acc - gravity
+    p_new = imu.p_WI + imu.v_WI * dt + 0.5 * a_world * dt * dt
+    v_new = imu.v_WI + a_world * dt
+    return R_new, p_new, v_new
+
+
+def propagate(cfg: MSCKFConfig, state: FilterState,
+              gyro: jnp.ndarray, acc: jnp.ndarray, timestamp: jnp.ndarray) -> FilterState:
+    """One ``process_imu`` step (`MSCKF.py:160-248`).
+
+    Error-state ordering is the reference's (non-standard):
+    [dtheta 0:3, dbg 3:6, dv 6:9, dba 9:12, dp 12:15] (`MSCKF.py:171`).
+    """
+    dt_ = cfg.jdtype
+    imu = state.imu
+    dt = (timestamp - imu.timestamp).astype(dt_)
+
+    gyro = gyro.astype(dt_) - imu.bg
+    acc = acc.astype(dt_) - imu.ba
+    gravity = jnp.asarray(cfg.gravity_np, dtype=dt_)
+
+    # null state = pre-integration state, except the first step (see state.py)
+    first = imu.prop_count == 0
+    R_null = jnp.where(first, jnp.eye(3, dtype=dt_), imu.R_WI)
+    v_null = jnp.where(first, jnp.zeros(3, dtype=dt_), imu.v_WI)
+    p_null = jnp.where(first, jnp.zeros(3, dtype=dt_), imu.p_WI)
+
+    R_new, p_new, v_new = integrate_nominal(imu, acc, gyro, dt, gravity)
+
+    # --- continuous-time F (15x15) and G (15x12), built from the
+    # post-integration rotation like the reference (`MSCKF.py:179-212`,
+    # integrate runs before F is assembled at `MSCKF.py:168`). ---
+    Z3 = jnp.zeros((3, 3), dtype=dt_)
+    I3 = jnp.eye(3, dtype=dt_)
+    F = jnp.block([
+        [-skew(gyro), -I3, Z3, Z3, Z3],
+        [Z3, Z3, Z3, Z3, Z3],
+        [-R_new @ skew(acc), Z3, Z3, -R_new, Z3],
+        [Z3, Z3, Z3, Z3, Z3],
+        [Z3, Z3, I3, Z3, Z3],
+    ])
+    G = jnp.block([
+        [-I3, Z3, Z3, Z3],
+        [Z3, I3, Z3, Z3],
+        [Z3, Z3, -R_new, Z3],
+        [Z3, Z3, Z3, I3],
+        [Z3, Z3, Z3, Z3],
+    ])
+
+    # --- Phi: 3rd-order Taylor of exp(F dt) (`MSCKF.py:214-218`) ---
+    Fdt = F * dt
+    Fdt2 = Fdt @ Fdt
+    Fdt3 = Fdt2 @ Fdt
+    Phi = jnp.eye(15, dtype=dt_) + Fdt + 0.5 * Fdt2 + (1.0 / 6.0) * Fdt3
+
+    # --- observability constraint (`MSCKF.py:220-233`) ---
+    Phi = Phi.at[0:3, 0:3].set(R_new @ R_null.T)
+    u = R_null @ gravity
+    s = u / (u @ u)
+    A_vel = Phi[6:9, 0:3]
+    A_pos = Phi[12:15, 0:3]
+    w1 = skew(v_null - v_new) @ gravity
+    w2 = skew(dt * v_null + p_null - p_new) @ gravity
+    Phi = Phi.at[6:9, 0:3].set(A_vel - (A_vel @ u - w1)[:, None] * s[None, :])
+    Phi = Phi.at[12:15, 0:3].set(A_pos - (A_pos @ u - w2)[:, None] * s[None, :])
+
+    # --- covariance propagation on the padded buffer (`MSCKF.py:235-244`).
+    # Invalid camera rows/cols of P are identically zero, so multiplying the
+    # full padded cross-covariance block by Phi is exact. ---
+    Qc = jnp.diag(jnp.asarray(cfg.noise_cov_diag_np, dtype=dt_))
+    P = state.P
+    P_ii = P[:15, :15]
+    Q = (Phi @ G) @ Qc @ (Phi @ G).T * dt
+    P_ii_new = Phi @ P_ii @ Phi.T + Q
+    P_ic_new = Phi @ P[:15, 15:]
+    P = P.at[:15, :15].set(P_ii_new)
+    P = P.at[:15, 15:].set(P_ic_new)
+    P = P.at[15:, :15].set(P_ic_new.T)
+    P = 0.5 * (P + P.T)
+
+    imu_new = imu.replace(
+        R_WI=R_new,
+        p_WI=p_new,
+        v_WI=v_new,
+        timestamp=timestamp.astype(dt_),
+        step_id=imu.step_id + 1,
+        prop_count=imu.prop_count + 1,
+    )
+    return state.replace(imu=imu_new, P=P)

@@ -1,0 +1,178 @@
+"""Track-store mutations as masked scatters on fixed-size buffers.
+
+The reference mutates ``Dict[int, Feature]`` with Python list appends/deletes
+(`/root/reference/src/msckf/MSCKF.py:291-309, 399-434, 739-779`). Here every
+mutation is a static-shape scatter:
+
+  * spawn   — allocate free slots in keypoint-index order (the reference
+              inserts new features in enumeration order, `MSCKF.py:414-434`)
+  * extend  — append one observation at index ``n_obs`` for accepted matches
+  * compact — order-preserving deletion of observations whose camera was
+              marginalized (`MSCKF.py:760-769`), via a stable argsort
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from msckf_tpu.config import MSCKFConfig
+from msckf_tpu.filter.state import FilterState, TrackStore
+from msckf_tpu.ops.geometry import idp_angles_m
+
+
+def spawn_tracks(
+    cfg: MSCKFConfig,
+    state: FilterState,
+    kp: jnp.ndarray,  # (K, 2)
+    desc: jnp.ndarray,  # (K, Dd)
+    score: jnp.ndarray,  # (K,)
+    spawn_mask: jnp.ndarray,  # (K,) bool — keypoints that become new tracks
+    cam_R: jnp.ndarray,  # (3, 3) current camera pose
+    cam_t: jnp.ndarray,  # (3,)
+    cam_id: jnp.ndarray,  # () int32
+) -> FilterState:
+    """New feature creation (`MSCKF.py:291-309` / `:414-434`).
+
+    Each spawned keypoint gets: first observation (kp/desc/score/camera),
+    an observation-time world ray Line(cam_t, R_c K^-1 [kp,1])
+    (`MSCKF.py:297-305`), and an inverse-depth point anchored at the current
+    camera (`MSCKF.py:306`, `geometry.py:53-59`).
+    """
+    dt_ = cfg.jdtype
+    F, K = cfg.f_max, cfg.k_max
+    tr = state.tracks
+
+    # free slots in slot order
+    free_order = jnp.sort(jnp.where(~tr.valid, jnp.arange(F), F))  # (F,)
+    n_free = jnp.sum(~tr.valid)
+
+    # rank of each spawning keypoint among spawners (keypoint-index order)
+    rank = jnp.cumsum(spawn_mask) - 1  # (K,)
+    slot = jnp.where(spawn_mask & (rank < n_free), free_order[jnp.clip(rank, 0, F - 1)], F)
+    overflow = jnp.sum(spawn_mask & (rank >= n_free))
+
+    # bearing ray in world frame: W_v = R_c @ K^-1 [u, v, 1]
+    Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
+    homog = jnp.concatenate([kp, jnp.ones((K, 1), dtype=dt_)], axis=-1)
+    Ci_v = homog @ Kinv.T  # (K, 3)
+    W_v = Ci_v @ cam_R.T  # (K, 3)
+
+    at = lambda a: a.at[slot]
+    drop = dict(mode="drop")
+    tracks = tr.replace(
+        kp=at(tr.kp).set(jnp.zeros((K, cfg.m_max, 2), dt_).at[:, 0].set(kp), **drop),
+        desc=at(tr.desc).set(
+            jnp.zeros((K, cfg.m_max, cfg.desc_dim), dt_).at[:, 0].set(desc), **drop
+        ),
+        score=at(tr.score).set(jnp.zeros((K, cfg.m_max), dt_).at[:, 0].set(score), **drop),
+        obs_cam_id=at(tr.obs_cam_id).set(
+            jnp.full((K, cfg.m_max), -1, jnp.int32).at[:, 0].set(cam_id), **drop
+        ),
+        line_base=at(tr.line_base).set(
+            jnp.zeros((K, cfg.m_max, 3), dt_).at[:, 0].set(cam_t), **drop
+        ),
+        line_dir=at(tr.line_dir).set(
+            jnp.zeros((K, cfg.m_max, 3), dt_).at[:, 0].set(W_v), **drop
+        ),
+        obs_valid=at(tr.obs_valid).set(
+            jnp.zeros((K, cfg.m_max), bool).at[:, 0].set(True), **drop
+        ),
+        n_obs=at(tr.n_obs).set(jnp.ones((K,), jnp.int32), **drop),
+        idp_base=at(tr.idp_base).set(jnp.broadcast_to(cam_t, (K, 3)), **drop),
+        idp_m=at(tr.idp_m).set(idp_angles_m(W_v), **drop),
+        idp_rho=at(tr.idp_rho).set(jnp.full((K,), 0.1, dt_), **drop),
+        tracked=at(tr.tracked).set(jnp.ones((K,), jnp.int32), **drop),
+        lost=at(tr.lost).set(jnp.zeros((K,), jnp.int32), **drop),
+        valid=at(tr.valid).set(jnp.ones((K,), bool), **drop),
+        track_id=at(tr.track_id).set(
+            (state.next_track_id + 1 + rank).astype(jnp.int32), **drop
+        ),
+    )
+    n_spawned = jnp.sum(spawn_mask & (rank < n_free)).astype(jnp.int32)
+    diag = state.diag.replace(
+        n_track_overflow=state.diag.n_track_overflow + overflow.astype(jnp.int32)
+    )
+    return state.replace(
+        tracks=tracks,
+        next_track_id=state.next_track_id + jnp.sum(spawn_mask).astype(jnp.int32),
+        diag=diag,
+        has_tracks=state.has_tracks | (n_spawned > 0),
+    )
+
+
+def extend_tracks(
+    cfg: MSCKFConfig,
+    tracks: TrackStore,
+    accept: jnp.ndarray,  # (F,) bool — matched & geometrically verified
+    kp: jnp.ndarray,  # (F, 2) matched keypoint per track
+    desc: jnp.ndarray,  # (F, Dd)
+    score: jnp.ndarray,  # (F,)
+    cam_R: jnp.ndarray,
+    cam_t: jnp.ndarray,
+    cam_id: jnp.ndarray,
+) -> TrackStore:
+    """Append an observation to accepted tracks (`MSCKF.py:403-412`)."""
+    dt_ = cfg.jdtype
+    F, M = cfg.f_max, cfg.m_max
+    Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
+    homog = jnp.concatenate([kp, jnp.ones((F, 1), dtype=dt_)], axis=-1)
+    W_v = (homog @ Kinv.T) @ cam_R.T  # (F, 3)
+
+    rows = jnp.arange(F)
+    cols = jnp.where(accept, jnp.clip(tracks.n_obs, 0, M - 1), M)  # M -> dropped
+    drop = dict(mode="drop")
+    a = accept
+    return tracks.replace(
+        kp=tracks.kp.at[rows, cols].set(kp, **drop),
+        desc=tracks.desc.at[rows, cols].set(desc, **drop),
+        score=tracks.score.at[rows, cols].set(score, **drop),
+        obs_cam_id=tracks.obs_cam_id.at[rows, cols].set(cam_id, **drop),
+        line_base=tracks.line_base.at[rows, cols].set(jnp.broadcast_to(cam_t, (F, 3)), **drop),
+        line_dir=tracks.line_dir.at[rows, cols].set(W_v, **drop),
+        obs_valid=tracks.obs_valid.at[rows, cols].set(True, **drop),
+        n_obs=jnp.where(a, tracks.n_obs + 1, tracks.n_obs),
+        tracked=jnp.where(a, tracks.tracked + 1, tracks.tracked),
+        lost=jnp.where(a, 0, tracks.lost),
+    )
+
+
+def compact_observations(tracks: TrackStore, obs_keep: jnp.ndarray) -> TrackStore:
+    """Order-preserving deletion of observations (`MSCKF.py:760-769`).
+
+    ``obs_keep`` (F, M) marks observations that survive; dropped slots are
+    zeroed and packed to the back with a stable sort. Tracks left with zero
+    observations are invalidated (`MSCKF.py:770-773`).
+    """
+    F, M = tracks.obs_valid.shape
+    keep = tracks.obs_valid & obs_keep
+    key = jnp.where(keep, 0, 1) * M + jnp.arange(M)[None, :]
+    perm = jnp.argsort(key, axis=1)  # (F, M) kept-in-order first
+
+    g = lambda a: jnp.take_along_axis(a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
+    new_valid_obs = jnp.take_along_axis(keep, perm, axis=1)
+    n_obs = jnp.sum(keep, axis=1).astype(jnp.int32)
+    track_alive = tracks.valid & (n_obs > 0)
+    return tracks.replace(
+        kp=g(tracks.kp) * new_valid_obs[..., None],
+        desc=g(tracks.desc) * new_valid_obs[..., None],
+        score=jnp.take_along_axis(tracks.score, perm, axis=1) * new_valid_obs,
+        obs_cam_id=jnp.where(new_valid_obs, jnp.take_along_axis(tracks.obs_cam_id, perm, axis=1), -1),
+        line_base=g(tracks.line_base) * new_valid_obs[..., None],
+        line_dir=g(tracks.line_dir) * new_valid_obs[..., None],
+        obs_valid=new_valid_obs,
+        n_obs=n_obs,
+        valid=track_alive,
+    )
+
+
+def resolve_cam_slots(obs_cam_id: jnp.ndarray, cam_ids: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Map per-observation camera ids to current camera slots.
+
+    Returns (slots, found) — slot index into the camera arrays and whether the
+    id resolved (it always should for valid observations, since observations
+    of marginalized cameras are deleted, `MSCKF.py:760-769`).
+    """
+    eq = obs_cam_id[..., None] == cam_ids  # (..., N)
+    found = jnp.any(eq, axis=-1)
+    slots = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+    return slots, found

@@ -1,0 +1,299 @@
+"""Feature triage, measurement Jacobians, gating, and the EKF update.
+
+Rebuilds `/root/reference/src/msckf/MSCKF.py:450-661` over fixed-size padded
+buffers. Two TPU-first re-expressions, both *exactly* equal to the reference
+in exact arithmetic (proofs sketched inline):
+
+1. **Nullspace projection as a projector.** The reference builds an explicit
+   orthonormal left-nullspace basis A of H_f via scipy ``null_space``
+   (`MSCKF.py:554-559`), producing data-dependent (2M-3)-row blocks. We use
+   the idempotent projector Pi = I - H_f (H_f^T H_f)^+ H_f^T = A A^T instead:
+   r~ = Pi r, H~ = Pi H. Since the update consumes only H^T H and H^T r
+   (see 2.), and H~^T H~ = H^T Pi H = (A^T H)^T (A^T H), the two forms give
+   identical updates; the chi-square statistic is also invariant
+   (r~^T (H~ P H~^T + s^2 I_2M)^{-1} r~ == r_o^T (H_o P H_o^T + s^2 I)^{-1} r_o
+   because r~ lies in range(A)). Shapes stay (2M, ...) — static.
+
+2. **QR compression + Kalman gain in information form.** The reference
+   stacks rows, optionally compresses with thin QR (T_H = R, r_n = Q^T r,
+   R_n = s^2 I — note Q^T (s^2 I) Q = s^2 I exactly), then forms
+   K = P T_H^T S^{-1} (`MSCKF.py:594-607`). Both the compressed and
+   uncompressed paths satisfy, with A = H^T H and c = H^T r:
+
+       K r_n           = P (s^2 I + A P)^{-1} c
+       I - K T_H       = I - P (s^2 I + A P)^{-1} A
+       K R_n K^T       = s^2 L A L^T,   L = P (s^2 I + A P)^{-1}
+
+   (first identity from H^T (H P H^T + s^2 I)^{-1} = (s^2 I + H^T H P)^{-1} H^T;
+   the compressed path replaces H by R with R^T R = A and reaches the same
+   expressions). So the whole update reduces to one MXU-friendly accumulation
+   A = sum_j H~_j^T H~_j, c = sum_j H~_j^T r~_j over gated features plus one
+   (D, D) solve — no dynamic-shape QR, invariant to zero-row padding.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from msckf_tpu.config import MSCKFConfig
+from msckf_tpu.filter.state import FilterState, TrackStore
+from msckf_tpu.filter.tracks import resolve_cam_slots
+from msckf_tpu.ops.geometry import idp_angles_m, skew, so3_exp, svd_orthonormalize
+from msckf_tpu.ops.triangulation import intersect_lines, pinv_sym3
+
+
+class TriageResult(NamedTuple):
+    tracks: TrackStore  # with refreshed inverse-depth points
+    valid: jnp.ndarray  # (F,) bool — features entering the update
+    lost: jnp.ndarray  # (F,) bool — features to delete after the update
+
+
+def triage_features(cfg: MSCKFConfig, state: FilterState, subset: jnp.ndarray) -> TriageResult:
+    """``get_valid_features`` (`MSCKF.py:458-495`) over a track-subset mask.
+
+    Valid = (lost with a long-enough history) or (parallax between first and
+    last bearing above threshold); triangulates valid tracks by weighted line
+    intersection and refreshes their inverse-depth point when the triangulated
+    point re-projects into the anchor camera's image.
+    """
+    dt_ = cfg.jdtype
+    tr = state.tracks
+    cams = state.cams
+    sub = subset & tr.valid
+
+    lost_f = tr.lost >= cfg.min_frames_to_be_lost
+    short = tr.tracked < cfg.min_frames_to_be_tracked
+    discarded = lost_f & short
+
+    # parallax between first and last surviving bearings (`MSCKF.py:471-477`)
+    last_idx = jnp.clip(tr.n_obs - 1, 0, cfg.m_max - 1)
+    d0 = tr.line_dir[:, 0, :]
+    d1 = jnp.take_along_axis(tr.line_dir, last_idx[:, None, None], axis=1)[:, 0, :]
+    d0n = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True).clip(1e-30)
+    d1n = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True).clip(1e-30)
+    cosang = jnp.clip(jnp.sum(d0n * d1n, axis=-1), -1.0, 1.0)
+    parallax_deg = jnp.rad2deg(jnp.arccos(cosang))
+    enough_parallax = (
+        bool(cfg.use_parallax) & (tr.n_obs > 1) & (parallax_deg > cfg.min_parallax_deg)
+    )
+
+    valid = sub & ~discarded & (lost_f | enough_parallax)
+    lost_out = sub & lost_f
+
+    # --- triangulate + refresh IDP for valid tracks (`MSCKF.py:480-491`) ---
+    W_p = jax.vmap(intersect_lines)(tr.line_base, tr.line_dir, tr.score, tr.obs_valid)
+    anchor_slot, _ = resolve_cam_slots(tr.obs_cam_id[:, 0], cams.cam_id)  # (F,)
+    R_a = cams.R[anchor_slot]  # (F, 3, 3)
+    t_a = cams.t[anchor_slot]
+    Ci_p = ((W_p - t_a)[:, None, :] @ R_a)[:, 0, :]  # R_a^T (W_p - t_a)
+    K = jnp.asarray(cfg.K_np, dtype=dt_)
+    Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
+    z_safe = jnp.where(jnp.abs(Ci_p[:, 2:3]) < 1e-30, 1e-30, Ci_p[:, 2:3])
+    Im_p = (Ci_p @ K.T)[:, :2] / z_safe  # pinhole projection (`Camera.py:20-21`)
+    in_front = Ci_p[:, 2] > 0
+    in_fov = (
+        (Im_p[:, 0] >= 0)
+        & (Im_p[:, 0] < cfg.width)
+        & (Im_p[:, 1] >= 0)
+        & (Im_p[:, 1] < cfg.height)
+    )
+    refresh = valid & in_front & in_fov
+
+    homog = jnp.concatenate([Im_p, jnp.ones((Im_p.shape[0], 1), dtype=dt_)], axis=-1)
+    W_v = (homog @ Kinv.T)[:, None, :] @ jnp.swapaxes(R_a, -1, -2)  # (F,1,3) R_a @ Kinv x
+    W_v = W_v[:, 0, :]
+    new_m = idp_angles_m(W_v)
+    new_rho = 1.0 / jnp.where(refresh, Ci_p[:, 2], 1.0)
+
+    tracks = tr.replace(
+        idp_m=jnp.where(refresh[:, None], new_m, tr.idp_m),
+        idp_rho=jnp.where(refresh, new_rho, tr.idp_rho),
+    )
+    return TriageResult(tracks=tracks, valid=valid, lost=lost_out)
+
+
+class UpdateTerms(NamedTuple):
+    A: jnp.ndarray  # (D, D) accumulated H^T H of gated features
+    c: jnp.ndarray  # (D,) accumulated H^T r
+    any_pass: jnp.ndarray  # () bool
+    n_gate_rejected: jnp.ndarray  # () int32
+    n_overflow: jnp.ndarray  # () int32 — valid features beyond u_max
+
+
+def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray) -> UpdateTerms:
+    """Residuals, OC-projected Jacobians, nullspace projection, chi2 gate and
+    the information-form accumulation (`MSCKF.py:497-607`)."""
+    dt_ = cfg.jdtype
+    U, M, N, D = cfg.u_max, cfg.m_max, cfg.n_cam_slots, cfg.err_dim
+    F = cfg.f_max
+    tr = state.tracks
+    cams = state.cams
+
+    # gather up to U valid tracks (slot order; row order is irrelevant to the
+    # accumulated A, c)
+    order = jnp.sort(jnp.where(valid, jnp.arange(F), F))
+    sel = order[:U]
+    sel_ok = sel < F
+    n_overflow = jnp.sum(valid).astype(jnp.int32) - jnp.sum(sel_ok).astype(jnp.int32)
+    sel_c = jnp.clip(sel, 0, F - 1)
+
+    kp = tr.kp[sel_c]  # (U, M, 2)
+    obs_cam_id = tr.obs_cam_id[sel_c]
+    obs_valid = tr.obs_valid[sel_c] & sel_ok[:, None]
+    n_obs = jnp.where(sel_ok, tr.n_obs[sel_c], 0)
+    base = tr.idp_base[sel_c]  # (U, 3)
+    m_vec = tr.idp_m[sel_c]
+    rho = tr.idp_rho[sel_c]
+
+    slots, _ = resolve_cam_slots(obs_cam_id, cams.cam_id)  # (U, M)
+    R_c = cams.R[slots]  # (U, M, 3, 3)
+    t_c = cams.t[slots]  # (U, M, 3)
+    R_CW = jnp.swapaxes(R_c, -1, -2)
+
+    gravity = jnp.asarray(cfg.gravity_np, dtype=dt_)
+    Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
+
+    # Ci_f = R_C_W (rho (base - t_WC) + m) (`MSCKF.py:516`)
+    pw = rho[:, None, None] * (base[:, None, :] - t_c) + m_vec[:, None, :]  # (U, M, 3)
+    Ci_f = (R_CW @ pw[..., None])[..., 0]  # (U, M, 3)
+    W_f = (R_c @ Ci_f[..., None])[..., 0] + t_c  # (`MSCKF.py:517`)
+
+    z_safe = jnp.where(jnp.abs(Ci_f[..., 2:3]) < 1e-30, 1e-30, Ci_f[..., 2:3])
+    zhat = Ci_f[..., :2] / z_safe
+    ones = jnp.ones(kp.shape[:-1] + (1,), dtype=dt_)
+    z = (jnp.concatenate([kp, ones], -1) @ Kinv.T)[..., :2]  # normalized coords
+    r = (z - zhat) * obs_valid[..., None]  # (U, M, 2)
+
+    # projection Jacobian (`Camera.py:54-66`)
+    inv_z = 1.0 / z_safe[..., 0]
+    zero = jnp.zeros_like(inv_z)
+    Jp = jnp.stack(
+        [
+            jnp.stack([inv_z, zero, -Ci_f[..., 0] * inv_z * inv_z], -1),
+            jnp.stack([zero, inv_z, -Ci_f[..., 1] * inv_z * inv_z], -1),
+        ],
+        axis=-2,
+    )  # (U, M, 2, 3)
+    Hx_rot = Jp @ skew(Ci_f)  # (U, M, 2, 3)
+    Hx_pos = -(Jp @ R_CW)
+    Hx6 = jnp.concatenate([Hx_rot, Hx_pos], axis=-1)  # (U, M, 2, 6)
+    Hf = Jp @ R_CW  # (U, M, 2, 3) == -Hx6[..., 3:], pre-OC (`MSCKF.py:536`)
+
+    # per-observation OC projection of Hx6 (`MSCKF.py:528-534`)
+    u_vec = jnp.concatenate(
+        [
+            (R_CW @ gravity[None, None, :, None])[..., 0],
+            (skew(W_f - t_c) @ gravity[None, None, :, None])[..., 0],
+        ],
+        axis=-1,
+    )  # (U, M, 6)
+    den = jnp.sum(u_vec * u_vec, axis=-1)  # (U, M)
+    Au = (Hx6 @ u_vec[..., None])[..., 0]  # (U, M, 2)
+    corr = Au[..., None] * (u_vec[..., None, :] / jnp.where(den > 1e-6, den, 1.0)[..., None, None])
+    Hx6 = jnp.where((den > 1e-6)[..., None, None], Hx6 - corr, Hx6)
+
+    Hx6 = Hx6 * obs_valid[..., None, None]
+    Hf = Hf * obs_valid[..., None, None]
+
+    # place 6-col blocks at their camera slots -> (U, 2M, D)
+    onehot = (jax.nn.one_hot(slots, N, dtype=dt_) * obs_valid[..., None])  # (U, M, N)
+    Hcam = (onehot[:, :, None, :, None] * Hx6[:, :, :, None, :])  # (U, M, 2, N, 6)
+    Hcam = Hcam.reshape(U, M, 2, N * 6)
+    Hfull = jnp.concatenate([jnp.zeros((U, M, 2, 15), dtype=dt_), Hcam], axis=-1)
+    Hfull = Hfull.reshape(U, 2 * M, D)
+    Hf_stack = Hf.reshape(U, 2 * M, 3)
+    r_stack = r.reshape(U, 2 * M)
+
+    # nullspace projector Pi = I - Hf (Hf^T Hf)^+ Hf^T (see module docstring)
+    HtH = jnp.einsum("uri,urj->uij", Hf_stack, Hf_stack)  # (U, 3, 3)
+    Hpinv = pinv_sym3(HtH)  # (U, 3, 3)
+    # r~ = r - Hf pinv (Hf^T r); H~ = H - Hf pinv (Hf^T H)
+    Hf_r = jnp.einsum("uri,ur->ui", Hf_stack, r_stack)
+    r_t = r_stack - jnp.einsum("uri,uij,uj->ur", Hf_stack, Hpinv, Hf_r)
+    Hf_H = jnp.einsum("uri,urd->uid", Hf_stack, Hfull)
+    H_t = Hfull - jnp.einsum("uri,uij,ujd->urd", Hf_stack, Hpinv, Hf_H)
+
+    # chi-square gate (`MSCKF.py:561-568`), projector form (== basis form)
+    sigma2 = jnp.asarray(cfg.sigma_image**2, dtype=dt_)
+    S = jnp.einsum("urd,de,use->urs", H_t, state.P, H_t) + sigma2 * jnp.eye(
+        2 * M, dtype=dt_
+    )
+    sol = jnp.linalg.solve(S, r_t[..., None])[..., 0]  # (U, 2M)
+    gamma = jnp.sum(r_t * sol, axis=-1)  # (U,)
+    dof = jnp.clip(2 * n_obs - 3, 0, 2 * M)
+    crit = jnp.asarray(cfg.chi2_table_np, dtype=dt_)[dof]
+    passed = sel_ok & (gamma <= crit)  # NaN crit (dof 0) fails, like scipy
+    n_rej = jnp.sum(sel_ok & ~passed).astype(jnp.int32)
+
+    w = passed.astype(dt_)
+    A = jnp.einsum("urd,ure->de", H_t * w[:, None, None], H_t)
+    c = jnp.einsum("urd,ur->d", H_t * w[:, None, None], r_t)
+    return UpdateTerms(
+        A=A,
+        c=c,
+        any_pass=jnp.any(passed),
+        n_gate_rejected=n_rej,
+        n_overflow=jnp.maximum(n_overflow, 0),
+    )
+
+
+def apply_correction(cfg: MSCKFConfig, state: FilterState, A: jnp.ndarray, c: jnp.ndarray) -> FilterState:
+    """Information-form Kalman gain, Joseph covariance update, exp-map state
+    correction with SVD re-orthonormalization (`MSCKF.py:604-661`)."""
+    dt_ = cfg.jdtype
+    D, N = cfg.err_dim, cfg.n_cam_slots
+    P = state.P
+    sigma2 = jnp.asarray(cfg.sigma_image**2, dtype=dt_)
+
+    B = sigma2 * jnp.eye(D, dtype=dt_) + A @ P
+    # L = P B^{-1}  (L^T = B^{-T} P since P is symmetric)
+    L = jnp.linalg.solve(B.T, P).T
+    delta = L @ c
+
+    ImLA = jnp.eye(D, dtype=dt_) - L @ A
+    LA_L = L @ A @ L.T
+    P_new = ImLA @ P @ ImLA.T + sigma2 * LA_L
+    P_new = 0.5 * (P_new + P_new.T)
+
+    # --- IMU correction (`MSCKF.py:616-640`), ordering [th, bg, v, ba, p] ---
+    imu = state.imu
+    dR = so3_exp(delta[0:3])
+    R_new = svd_orthonormalize(imu.R_WI @ dR.T)
+    imu = imu.replace(
+        R_WI=R_new,
+        bg=imu.bg + delta[3:6],
+        v_WI=imu.v_WI + delta[6:9],
+        ba=imu.ba + delta[9:12],
+        p_WI=imu.p_WI + delta[12:15],
+    )
+
+    # --- camera corrections, batched over slots (`MSCKF.py:643-661`).
+    # Invalid slots receive exactly zero delta (their P rows are zero). ---
+    dcam = delta[15:].reshape(N, 6)
+    dRc = so3_exp(dcam[:, 0:3])
+    Rc_new = svd_orthonormalize(state.cams.R @ jnp.swapaxes(dRc, -1, -2))
+    cams = state.cams.replace(R=Rc_new, t=state.cams.t + dcam[:, 3:6])
+
+    return state.replace(imu=imu, cams=cams, P=P_new)
+
+
+def ekf_update(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray) -> FilterState:
+    """``update`` (`MSCKF.py:570-609`): gate, accumulate, correct (or no-op
+    when every feature fails the gate, `MSCKF.py:584-585`)."""
+    terms = build_update_terms(cfg, state, valid)
+    state = state.replace(
+        diag=state.diag.replace(
+            n_gating_rejected=state.diag.n_gating_rejected + terms.n_gate_rejected,
+            n_update_overflow=state.diag.n_update_overflow + terms.n_overflow,
+        )
+    )
+    return lax.cond(
+        terms.any_pass,
+        lambda s: apply_correction(cfg, s, terms.A, terms.c),
+        lambda s: s,
+        state,
+    )

@@ -1,0 +1,92 @@
+"""Two-tier geometric match verification, vectorized over (track x observation).
+
+Rebuilds the per-match Python loop at `/root/reference/src/msckf/MSCKF.py:333-401`:
+for every matched feature, every historical observation votes — short baseline
+(< 0.01 m) uses a rotation-homography symmetric transfer error, long baseline
+uses the signed epipolar residual x2^T F x1. One failing observation rejects
+the match (the reference breaks on first failure; "any" is equivalent for the
+accept/reject outcome, and the first-failure branch decides which rejection
+counter increments).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from msckf_tpu.config import MSCKFConfig
+from msckf_tpu.filter.state import CameraStates, TrackStore
+from msckf_tpu.filter.tracks import resolve_cam_slots
+from msckf_tpu.ops.geometry import skew
+
+
+class VerifyResult(NamedTuple):
+    accept: jnp.ndarray  # (F,) bool — match survives all observation votes
+    n_homo_rejected: jnp.ndarray  # () int32
+    n_epi_rejected: jnp.ndarray  # () int32
+
+
+def verify_matches(
+    cfg: MSCKFConfig,
+    tracks: TrackStore,
+    cams: CameraStates,
+    candidate: jnp.ndarray,  # (F,) bool — matched tracks to verify
+    kp2: jnp.ndarray,  # (F, 2) matched current-frame keypoint per track
+    cam_R: jnp.ndarray,  # (3,3) current camera pose (post-augmentation)
+    cam_t: jnp.ndarray,  # (3,)
+) -> VerifyResult:
+    dt_ = cfg.jdtype
+    K = jnp.asarray(cfg.K_np, dtype=dt_)
+    Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
+
+    # per-observation camera poses (current estimates, `MSCKF.py:349-350`)
+    slots, _ = resolve_cam_slots(tracks.obs_cam_id, cams.cam_id)  # (F, M)
+    R1 = cams.R[slots]  # (F, M, 3, 3)
+    t1 = cams.t[slots]  # (F, M, 3)
+
+    # T_C1_C2 = T_W_C1^-1 * T_W_C2 (`MSCKF.py:350`)
+    R12 = jnp.swapaxes(R1, -1, -2) @ cam_R  # (F, M, 3, 3)
+    t12 = ((cam_t - t1)[..., None, :] @ R1)[..., 0, :]  # (F, M, 3)  == R1^T (t2 - t1)
+    baseline = jnp.linalg.norm(t12, axis=-1)
+
+    kp1 = tracks.kp  # (F, M, 2) historical observations
+    ones1 = jnp.ones(kp1.shape[:-1] + (1,), dtype=dt_)
+    x1 = jnp.concatenate([kp1, ones1], axis=-1)  # (F, M, 3)
+    x2 = jnp.concatenate([kp2, jnp.ones((kp2.shape[0], 1), dtype=dt_)], axis=-1)  # (F, 3)
+
+    # --- homography branch (`MSCKF.py:352-360`): H = K R12 K^-1 ---
+    H = K @ R12 @ Kinv  # (F, M, 3, 3)
+    Hinv = K @ jnp.swapaxes(R12, -1, -2) @ Kinv  # exact inverse
+    x1_pred = (Hinv @ x2[:, None, :, None])[..., 0]  # (F, M, 3)
+    x1_pred = x1_pred[..., :2] / x1_pred[..., 2:3]
+    x2_pred = (H @ x1[..., None])[..., 0]
+    x2_pred = x2_pred[..., :2] / x2_pred[..., 2:3]
+    # NOTE: the reference compares the *current* keypoint against H^-1 x2
+    # (`MSCKF.py:358`) — reproduced literally.
+    homo_score = 0.5 * (
+        jnp.linalg.norm(kp2[:, None, :] - x1_pred, axis=-1)
+        + jnp.linalg.norm(kp1 - x2_pred, axis=-1)
+    )
+
+    # --- epipolar branch (`MSCKF.py:377-379`): F = K^-T [t]x R K^-1, signed ---
+    Fm = jnp.swapaxes(Kinv, 0, 1) @ skew(t12) @ R12 @ Kinv  # (F, M, 3, 3)
+    epi_score = jnp.einsum("fi,fmij,fmj->fm", x2, Fm, x1)
+
+    short = baseline < 0.01
+    reject = jnp.where(
+        short,
+        homo_score > cfg.homography_rejection_threshold,
+        epi_score > cfg.epipolar_rejection_threshold,
+    )
+    reject = reject & tracks.obs_valid & candidate[:, None]
+
+    any_reject = jnp.any(reject, axis=-1)
+    accept = candidate & ~any_reject
+
+    # first failing observation decides the counter (`MSCKF.py:362,383`)
+    first_fail = jnp.argmax(reject, axis=-1)  # (F,)
+    fail_is_homo = jnp.take_along_axis(short, first_fail[:, None], axis=1)[:, 0]
+    n_homo = jnp.sum(any_reject & fail_is_homo).astype(jnp.int32)
+    n_epi = jnp.sum(any_reject & ~fail_is_homo).astype(jnp.int32)
+    return VerifyResult(accept=accept, n_homo_rejected=n_homo, n_epi_rejected=n_epi)
