@@ -97,13 +97,18 @@ def build_stream(
     mean_acc = imu_acc[: init_tick + 1].mean(axis=0)
     R_init = gravity_align_numpy(mean_acc, cfg.gravity_np)
 
-    # prefix: ticks [0, cam_ticks[1]) — IMU only (includes the init trigger)
+    # prefix: ticks [0, cam_ticks[1]) — IMU only (includes the init trigger).
+    # Ticks <= init_tick are the reference's buffering phase: it reports the
+    # constructor state there (`MSCKF.py:136-138`) while our scan already
+    # propagates (the replay equivalence); pre_init masks the *outputs* so
+    # per-tick telemetry matches the reference exactly.
     first = int(cam_ticks[1])
     prefix = dict(
         imu_ts=imu_ts[:first],
         imu_gyro=imu_gyro[:first],
         imu_acc=imu_acc[:first],
         imu_valid=np.ones(first, dtype=bool),
+        pre_init=np.arange(first) <= init_tick,
     )
 
     # frame blocks: [cam_ticks[j], next) for j >= 1

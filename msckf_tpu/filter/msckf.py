@@ -223,11 +223,31 @@ def run_sequence(cfg: MSCKFConfig, state: FilterState, prefix: dict, frames: dic
     """
 
     def pre_tick(st: FilterState, tick):
-        ts, gyro, acc, valid = tick
+        ts, gyro, acc, valid, pre_init = tick
         st = lax.cond(valid, lambda s: propagate(cfg, s, gyro, acc, ts), lambda s: s, st)
-        return st, _tick_output(st, valid)
+        out = _tick_output(st, valid)
+        # during the reference's buffering phase it reports the constructor
+        # state (identity pose, zero covariance) — see stream.build_stream
+        blank = TickOutput(
+            R_WI=jnp.eye(3, dtype=cfg.jdtype),
+            p_WI=jnp.zeros(3, dtype=cfg.jdtype),
+            v_WI=jnp.zeros(3, dtype=cfg.jdtype),
+            sigma_rot=jnp.zeros(3, dtype=cfg.jdtype),
+            sigma_pos=jnp.zeros(3, dtype=cfg.jdtype),
+            n_cams=jnp.zeros((), jnp.int32),
+            n_tracks=jnp.zeros((), jnp.int32),
+            valid=valid,
+        )
+        out = jax.tree.map(lambda b, o: jnp.where(pre_init, b, o), blank, out)
+        return st, out
 
-    xs = (prefix["imu_ts"], prefix["imu_gyro"], prefix["imu_acc"], prefix["imu_valid"])
+    xs = (
+        prefix["imu_ts"],
+        prefix["imu_gyro"],
+        prefix["imu_acc"],
+        prefix["imu_valid"],
+        prefix["pre_init"],
+    )
     state, pre_out = lax.scan(pre_tick, state, xs)
     state, frame_out = run_filter(cfg, state, frames)
     return state, pre_out, frame_out
