@@ -41,6 +41,7 @@ from msckf_tpu.filter.state import FilterState, init_state
 from msckf_tpu.filter.tracks import extend_tracks, spawn_tracks
 from msckf_tpu.filter.update import ekf_update, triage_features
 from msckf_tpu.filter.verification import verify_matches
+from msckf_tpu.ops.precision import with_f32_matmuls
 
 
 def add_camera_measurements(
@@ -126,6 +127,7 @@ def process_features(cfg: MSCKFConfig, state: FilterState) -> FilterState:
     return lax.cond(jnp.any(tri.valid), do, lambda s: s, state)
 
 
+@with_f32_matmuls
 def camera_step(
     cfg: MSCKFConfig,
     state: FilterState,
@@ -176,6 +178,7 @@ def _tick_output(state: FilterState, valid) -> TickOutput:
     )
 
 
+@with_f32_matmuls
 def frame_step(cfg: MSCKFConfig, state: FilterState, frame: dict):
     """One camera-frame block: B IMU ticks, camera on tick 0 (when flagged)."""
 
@@ -201,6 +204,7 @@ def frame_step(cfg: MSCKFConfig, state: FilterState, frame: dict):
     return lax.scan(tick_fn, state, xs)
 
 
+@with_f32_matmuls
 def run_filter(cfg: MSCKFConfig, state: FilterState, stream: dict):
     """Scan the filter over a whole prepared sequence on device.
 
@@ -215,6 +219,7 @@ def run_filter(cfg: MSCKFConfig, state: FilterState, stream: dict):
     return lax.scan(fr, state, stream)
 
 
+@with_f32_matmuls
 def run_sequence(cfg: MSCKFConfig, state: FilterState, prefix: dict, frames: dict):
     """Full sequence: propagate-only prefix, then camera-frame blocks.
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import FilterState, ImuState
 from msckf_tpu.ops.geometry import rodrigues_unit, skew
+from msckf_tpu.ops.precision import with_f32_matmuls
 
 
 def integrate_nominal(imu: ImuState, acc: jnp.ndarray, gyro: jnp.ndarray,
@@ -47,6 +48,7 @@ def integrate_nominal(imu: ImuState, acc: jnp.ndarray, gyro: jnp.ndarray,
     return R_new, p_new, v_new
 
 
+@with_f32_matmuls
 def propagate(cfg: MSCKFConfig, state: FilterState,
               gyro: jnp.ndarray, acc: jnp.ndarray, timestamp: jnp.ndarray) -> FilterState:
     """One ``process_imu`` step (`MSCKF.py:160-248`).

