@@ -36,7 +36,7 @@ from msckf_tpu.filter.marginalization import (
     remove_cameras,
 )
 from msckf_tpu.filter.matching import fused_descriptors, mutual_match
-from msckf_tpu.filter.propagation import propagate
+from msckf_tpu.filter.propagation import propagate, propagate_block
 from msckf_tpu.filter.state import FilterState, init_state
 from msckf_tpu.filter.tracks import extend_tracks, spawn_tracks
 from msckf_tpu.filter.update import ekf_update, triage_features
@@ -178,30 +178,51 @@ def _tick_output(state: FilterState, valid) -> TickOutput:
     )
 
 
+def _block_outputs(cfg: MSCKFConfig, state: FilterState, outs) -> TickOutput:
+    """Wrap propagate_block's raw per-tick outputs as TickOutput (camera/track
+    counts are constant across IMU-only ticks)."""
+    R, p, v, s_rot, s_pos, valid = outs
+    B = valid.shape[0]
+    n_cams = jnp.broadcast_to(state.cams.n, (B,))
+    n_tracks = jnp.broadcast_to(
+        jnp.sum(state.tracks.valid).astype(jnp.int32), (B,)
+    )
+    return TickOutput(
+        R_WI=R, p_WI=p, v_WI=v, sigma_rot=s_rot, sigma_pos=s_pos,
+        n_cams=n_cams, n_tracks=n_tracks, valid=valid,
+    )
+
+
 @with_f32_matmuls
 def frame_step(cfg: MSCKFConfig, state: FilterState, frame: dict):
-    """One camera-frame block: B IMU ticks, camera on tick 0 (when flagged)."""
+    """One camera-frame block: B IMU ticks, camera on tick 0 (when flagged).
 
-    def tick_fn(st: FilterState, tick):
-        ts, gyro, acc, valid, is_cam = tick
+    Tick 0 propagates and runs the vision update (the driver samples metrics
+    after both callbacks, `main.py:278-298`); ticks 1..B-1 are IMU-only and
+    run as one composed ``propagate_block`` that touches the padded
+    covariance once.
+    """
+    ts, gyro, acc, valid = (
+        frame["imu_ts"], frame["imu_gyro"], frame["imu_acc"], frame["imu_valid"]
+    )
 
-        def prop(s):
-            return propagate(cfg, s, gyro, acc, ts)
+    def prop0(s):
+        return propagate(cfg, s, gyro[0], acc[0], ts[0])
 
-        st = lax.cond(valid, prop, lambda s: s, st)
+    state = lax.cond(valid[0], prop0, lambda s: s, state)
 
-        def cam(s):
-            return camera_step(
-                cfg, s, frame["kp"], frame["desc"], frame["score"], frame["kp_valid"]
-            )
+    def cam(s):
+        return camera_step(
+            cfg, s, frame["kp"], frame["desc"], frame["score"], frame["kp_valid"]
+        )
 
-        st = lax.cond(is_cam & valid, cam, lambda s: s, st)
-        return st, _tick_output(st, valid)
+    state = lax.cond(frame["has_camera"] & valid[0], cam, lambda s: s, state)
+    out0 = _tick_output(state, valid[0])
 
-    B = frame["imu_ts"].shape[0]
-    is_cam = jnp.zeros(B, dtype=bool).at[0].set(frame["has_camera"])
-    xs = (frame["imu_ts"], frame["imu_gyro"], frame["imu_acc"], frame["imu_valid"], is_cam)
-    return lax.scan(tick_fn, state, xs)
+    state, outs = propagate_block(cfg, state, ts[1:], gyro[1:], acc[1:], valid[1:])
+    rest = _block_outputs(cfg, state, outs)
+    full = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, rest)
+    return state, full
 
 
 @with_f32_matmuls
@@ -227,33 +248,31 @@ def run_sequence(cfg: MSCKFConfig, state: FilterState, prefix: dict, frames: dic
     (C, B, ...)). Jit this whole function with cfg static.
     """
 
-    def pre_tick(st: FilterState, tick):
-        ts, gyro, acc, valid, pre_init = tick
-        st = lax.cond(valid, lambda s: propagate(cfg, s, gyro, acc, ts), lambda s: s, st)
-        out = _tick_output(st, valid)
-        # during the reference's buffering phase it reports the constructor
-        # state (identity pose, zero covariance) — see stream.build_stream
-        blank = TickOutput(
-            R_WI=jnp.eye(3, dtype=cfg.jdtype),
-            p_WI=jnp.zeros(3, dtype=cfg.jdtype),
-            v_WI=jnp.zeros(3, dtype=cfg.jdtype),
-            sigma_rot=jnp.zeros(3, dtype=cfg.jdtype),
-            sigma_pos=jnp.zeros(3, dtype=cfg.jdtype),
-            n_cams=jnp.zeros((), jnp.int32),
-            n_tracks=jnp.zeros((), jnp.int32),
-            valid=valid,
-        )
-        out = jax.tree.map(lambda b, o: jnp.where(pre_init, b, o), blank, out)
-        return st, out
-
-    xs = (
-        prefix["imu_ts"],
-        prefix["imu_gyro"],
-        prefix["imu_acc"],
+    state, outs = propagate_block(
+        cfg, state, prefix["imu_ts"], prefix["imu_gyro"], prefix["imu_acc"],
         prefix["imu_valid"],
-        prefix["pre_init"],
     )
-    state, pre_out = lax.scan(pre_tick, state, xs)
+    pre_out = _block_outputs(cfg, state, outs)
+    # during the reference's buffering phase it reports the constructor
+    # state (identity pose, zero covariance) — see stream.build_stream
+    pi = prefix["pre_init"]
+    blank = TickOutput(
+        R_WI=jnp.eye(3, dtype=cfg.jdtype),
+        p_WI=jnp.zeros(3, dtype=cfg.jdtype),
+        v_WI=jnp.zeros(3, dtype=cfg.jdtype),
+        sigma_rot=jnp.zeros(3, dtype=cfg.jdtype),
+        sigma_pos=jnp.zeros(3, dtype=cfg.jdtype),
+        n_cams=jnp.zeros((), jnp.int32),
+        n_tracks=jnp.zeros((), jnp.int32),
+        valid=jnp.zeros((), bool),
+    )
+    pre_out = jax.tree.map(
+        lambda b, o: jnp.where(
+            pi.reshape((-1,) + (1,) * (o.ndim - 1)), b[None], o
+        ),
+        blank, pre_out,
+    )
+    pre_out = pre_out._replace(valid=prefix["imu_valid"])
     state, frame_out = run_filter(cfg, state, frames)
     return state, pre_out, frame_out
 

@@ -19,6 +19,7 @@ TPU notes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from msckf_tpu.config import MSCKFConfig
@@ -56,15 +57,30 @@ def propagate(cfg: MSCKFConfig, state: FilterState,
     Error-state ordering is the reference's (non-standard):
     [dtheta 0:3, dbg 3:6, dv 6:9, dba 9:12, dp 12:15] (`MSCKF.py:171`).
     """
-    dt_ = cfg.jdtype
-    imu = state.imu
-    dt = (timestamp - imu.timestamp).astype(dt_)
+    imu_new, Phi, Q = _phi_q_for_tick(cfg, state.imu, gyro, acc, timestamp)
 
+    # covariance propagation on the padded buffer (`MSCKF.py:235-244`);
+    # invalid camera rows/cols of P are identically zero, so the padded
+    # cross-covariance product is exact.
+    P = state.P
+    P_ii_new = Phi @ P[:15, :15] @ Phi.T + Q
+    P_ic_new = Phi @ P[:15, 15:]
+    P = P.at[:15, :15].set(P_ii_new)
+    P = P.at[:15, 15:].set(P_ic_new)
+    P = P.at[15:, :15].set(P_ic_new.T)
+    P = 0.5 * (P + P.T)
+    return state.replace(imu=imu_new, P=P)
+
+
+def _phi_q_for_tick(cfg: MSCKFConfig, imu: ImuState, gyro, acc, timestamp):
+    """Shared per-tick math: nominal integration + OC-constrained Phi and
+    discrete Q (15x15). Returns (imu_new, Phi, Q, dt)."""
+    dt_ = cfg.jdtype
+    dt = (timestamp - imu.timestamp).astype(dt_)
     gyro = gyro.astype(dt_) - imu.bg
     acc = acc.astype(dt_) - imu.ba
     gravity = jnp.asarray(cfg.gravity_np, dtype=dt_)
 
-    # null state = pre-integration state, except the first step (see state.py)
     first = imu.prop_count == 0
     R_null = jnp.where(first, jnp.eye(3, dtype=dt_), imu.R_WI)
     v_null = jnp.where(first, jnp.zeros(3, dtype=dt_), imu.v_WI)
@@ -72,9 +88,6 @@ def propagate(cfg: MSCKFConfig, state: FilterState,
 
     R_new, p_new, v_new = integrate_nominal(imu, acc, gyro, dt, gravity)
 
-    # --- continuous-time F (15x15) and G (15x12), built from the
-    # post-integration rotation like the reference (`MSCKF.py:179-212`,
-    # integrate runs before F is assembled at `MSCKF.py:168`). ---
     Z3 = jnp.zeros((3, 3), dtype=dt_)
     I3 = jnp.eye(3, dtype=dt_)
     F = jnp.block([
@@ -91,14 +104,9 @@ def propagate(cfg: MSCKFConfig, state: FilterState,
         [Z3, Z3, Z3, I3],
         [Z3, Z3, Z3, Z3],
     ])
-
-    # --- Phi: 3rd-order Taylor of exp(F dt) (`MSCKF.py:214-218`) ---
     Fdt = F * dt
     Fdt2 = Fdt @ Fdt
-    Fdt3 = Fdt2 @ Fdt
-    Phi = jnp.eye(15, dtype=dt_) + Fdt + 0.5 * Fdt2 + (1.0 / 6.0) * Fdt3
-
-    # --- observability constraint (`MSCKF.py:220-233`) ---
+    Phi = jnp.eye(15, dtype=dt_) + Fdt + 0.5 * Fdt2 + (1.0 / 6.0) * (Fdt2 @ Fdt)
     Phi = Phi.at[0:3, 0:3].set(R_new @ R_null.T)
     u = R_null @ gravity
     s = u / (u @ u)
@@ -109,26 +117,66 @@ def propagate(cfg: MSCKFConfig, state: FilterState,
     Phi = Phi.at[6:9, 0:3].set(A_vel - (A_vel @ u - w1)[:, None] * s[None, :])
     Phi = Phi.at[12:15, 0:3].set(A_pos - (A_pos @ u - w2)[:, None] * s[None, :])
 
-    # --- covariance propagation on the padded buffer (`MSCKF.py:235-244`).
-    # Invalid camera rows/cols of P are identically zero, so multiplying the
-    # full padded cross-covariance block by Phi is exact. ---
     Qc = jnp.diag(jnp.asarray(cfg.noise_cov_diag_np, dtype=dt_))
-    P = state.P
-    P_ii = P[:15, :15]
-    Q = (Phi @ G) @ Qc @ (Phi @ G).T * dt
-    P_ii_new = Phi @ P_ii @ Phi.T + Q
-    P_ic_new = Phi @ P[:15, 15:]
-    P = P.at[:15, :15].set(P_ii_new)
-    P = P.at[:15, 15:].set(P_ic_new)
-    P = P.at[15:, :15].set(P_ic_new.T)
-    P = 0.5 * (P + P.T)
+    PG = Phi @ G
+    Q = PG @ Qc @ PG.T * dt
 
     imu_new = imu.replace(
-        R_WI=R_new,
-        p_WI=p_new,
-        v_WI=v_new,
+        R_WI=R_new, p_WI=p_new, v_WI=v_new,
         timestamp=timestamp.astype(dt_),
         step_id=imu.step_id + 1,
         prop_count=imu.prop_count + 1,
     )
-    return state.replace(imu=imu_new, P=P)
+    return imu_new, Phi, Q
+
+
+@with_f32_matmuls
+def propagate_block(cfg: MSCKFConfig, state: FilterState,
+                    ts_b, gyro_b, acc_b, valid_b):
+    """Propagate a block of B IMU ticks touching the padded covariance ONCE.
+
+    TPU-first restructure of B consecutive ``process_imu`` calls: the inner
+    scan runs only the 15x15 math per tick (nominal state, Phi_i, Q_i, and
+    the IMU-block covariance P_ii with the reference's per-tick
+    symmetrization), composing Phi_total = Phi_B ... Phi_1. The big padded
+    cross-covariance block is then updated once:
+
+        P_ic <- Phi_total P_ic       ( == per-tick Phi_i applications,
+                                       associativity of matmul )
+
+    The reference's per-tick whole-P symmetrization (`MSCKF.py:244`) only
+    changes the IMU block (cross blocks are exact transposes by
+    construction), so doing it on P_ii inside the scan is exact.
+
+    Per-tick telemetry (pose, velocity, IMU-block sigma diagonals) comes out
+    of the scan; the camera-block diag is untouched by propagation.
+    """
+    dt_ = cfg.jdtype
+    P15_0 = state.P[:15, :15]
+
+    def tick(carry, x):
+        imu, P15, Phi_acc = carry
+        ts, gyro, acc, valid = x
+        imu_new, Phi, Q = _phi_q_for_tick(cfg, imu, gyro, acc, ts)
+        P15_new = Phi @ P15 @ Phi.T + Q
+        P15_new = 0.5 * (P15_new + P15_new.T)
+        Phi_acc_new = Phi @ Phi_acc
+        # masked select for padding ticks
+        imu = jax.tree.map(lambda a, b: jnp.where(valid, a, b), imu_new, imu)
+        P15 = jnp.where(valid, P15_new, P15)
+        Phi_acc = jnp.where(valid, Phi_acc_new, Phi_acc)
+        out = (imu.R_WI, imu.p_WI, imu.v_WI,
+               jnp.diagonal(P15[0:3, 0:3]), jnp.diagonal(P15[12:15, 12:15]), valid)
+        return (imu, P15, Phi_acc), out
+
+    init = (state.imu, P15_0, jnp.eye(15, dtype=dt_))
+    (imu, P15, Phi_acc), outs = jax.lax.scan(
+        tick, init, (ts_b, gyro_b, acc_b, valid_b)
+    )
+
+    P = state.P
+    P_ic = Phi_acc @ P[:15, 15:]
+    P = P.at[:15, :15].set(P15)
+    P = P.at[:15, 15:].set(P_ic)
+    P = P.at[15:, :15].set(P_ic.T)
+    return state.replace(imu=imu, P=P), outs
