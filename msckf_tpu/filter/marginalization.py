@@ -25,9 +25,19 @@ def remove_cameras(cfg: MSCKFConfig, state: FilterState, victim: jnp.ndarray) ->
     observations from every track (order-preserving), and delete emptied
     tracks.
     """
+    victim = victim & state.cams.valid
+    # skip the whole permutation machinery on frames with no removals
+    return lax.cond(
+        jnp.any(victim),
+        lambda s: _remove_cameras_impl(cfg, s, victim),
+        lambda s: s,
+        state,
+    )
+
+
+def _remove_cameras_impl(cfg: MSCKFConfig, state: FilterState, victim: jnp.ndarray) -> FilterState:
     N, D = cfg.n_cam_slots, cfg.err_dim
     cams = state.cams
-    victim = victim & cams.valid
     keep = cams.valid & ~victim
 
     # compaction permutation over camera slots (kept slots first, in order)
