@@ -42,8 +42,16 @@ from jax import lax
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import FilterState, TrackStore
 from msckf_tpu.filter.tracks import resolve_cam_slots
-from msckf_tpu.ops.geometry import idp_angles_m, skew, so3_exp, svd_orthonormalize
-from msckf_tpu.ops.triangulation import intersect_lines, pinv_sym3
+from msckf_tpu.ops.geometry import idp_angles_m, skew, so3_exp
+from msckf_tpu.ops.smallmat import (
+    default_rcond,
+    matmul_small,
+    matvec_small,
+    polar_orthonormalize,
+    tikhonov_inv_sym3,
+    transpose_small,
+)
+from msckf_tpu.ops.triangulation import intersect_lines
 
 
 class TriageResult(NamedTuple):
@@ -89,7 +97,7 @@ def triage_features(cfg: MSCKFConfig, state: FilterState, subset: jnp.ndarray) -
     anchor_slot, _ = resolve_cam_slots(tr.obs_cam_id[:, 0], cams.cam_id)  # (F,)
     R_a = cams.R[anchor_slot]  # (F, 3, 3)
     t_a = cams.t[anchor_slot]
-    Ci_p = ((W_p - t_a)[:, None, :] @ R_a)[:, 0, :]  # R_a^T (W_p - t_a)
+    Ci_p = matvec_small(transpose_small(R_a), W_p - t_a)  # R_a^T (W_p - t_a)
     K = jnp.asarray(cfg.K_np, dtype=dt_)
     Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
     z_safe = jnp.where(jnp.abs(Ci_p[:, 2:3]) < 1e-30, 1e-30, Ci_p[:, 2:3])
@@ -104,8 +112,7 @@ def triage_features(cfg: MSCKFConfig, state: FilterState, subset: jnp.ndarray) -
     refresh = valid & in_front & in_fov
 
     homog = jnp.concatenate([Im_p, jnp.ones((Im_p.shape[0], 1), dtype=dt_)], axis=-1)
-    W_v = (homog @ Kinv.T)[:, None, :] @ jnp.swapaxes(R_a, -1, -2)  # (F,1,3) R_a @ Kinv x
-    W_v = W_v[:, 0, :]
+    W_v = matvec_small(R_a, homog @ Kinv.T)
     new_m = idp_angles_m(W_v)
     new_rho = 1.0 / jnp.where(refresh, Ci_p[:, 2], 1.0)
 
@@ -159,8 +166,8 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
 
     # Ci_f = R_C_W (rho (base - t_WC) + m) (`MSCKF.py:516`)
     pw = rho[:, None, None] * (base[:, None, :] - t_c) + m_vec[:, None, :]  # (U, M, 3)
-    Ci_f = (R_CW @ pw[..., None])[..., 0]  # (U, M, 3)
-    W_f = (R_c @ Ci_f[..., None])[..., 0] + t_c  # (`MSCKF.py:517`)
+    Ci_f = matvec_small(R_CW, pw)  # (U, M, 3)
+    W_f = matvec_small(R_c, Ci_f) + t_c  # (`MSCKF.py:517`)
 
     z_safe = jnp.where(jnp.abs(Ci_f[..., 2:3]) < 1e-30, 1e-30, Ci_f[..., 2:3])
     zhat = Ci_f[..., :2] / z_safe
@@ -178,21 +185,20 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
         ],
         axis=-2,
     )  # (U, M, 2, 3)
-    Hx_rot = Jp @ skew(Ci_f)  # (U, M, 2, 3)
-    Hx_pos = -(Jp @ R_CW)
-    Hx6 = jnp.concatenate([Hx_rot, Hx_pos], axis=-1)  # (U, M, 2, 6)
-    Hf = Jp @ R_CW  # (U, M, 2, 3) == -Hx6[..., 3:], pre-OC (`MSCKF.py:536`)
+    Hx_rot = matmul_small(Jp, skew(Ci_f))  # (U, M, 2, 3)
+    Hf = matmul_small(Jp, R_CW)  # (U, M, 2, 3) == -Hx6[..., 3:], pre-OC (`MSCKF.py:536`)
+    Hx6 = jnp.concatenate([Hx_rot, -Hf], axis=-1)  # (U, M, 2, 6)
 
     # per-observation OC projection of Hx6 (`MSCKF.py:528-534`)
     u_vec = jnp.concatenate(
         [
-            (R_CW @ gravity[None, None, :, None])[..., 0],
-            (skew(W_f - t_c) @ gravity[None, None, :, None])[..., 0],
+            matvec_small(R_CW, jnp.broadcast_to(gravity, Ci_f.shape)),
+            matvec_small(skew(W_f - t_c), jnp.broadcast_to(gravity, Ci_f.shape)),
         ],
         axis=-1,
     )  # (U, M, 6)
     den = jnp.sum(u_vec * u_vec, axis=-1)  # (U, M)
-    Au = (Hx6 @ u_vec[..., None])[..., 0]  # (U, M, 2)
+    Au = matvec_small(Hx6, u_vec)  # (U, M, 2)
     corr = Au[..., None] * (u_vec[..., None, :] / jnp.where(den > 1e-6, den, 1.0)[..., None, None])
     Hx6 = jnp.where((den > 1e-6)[..., None, None], Hx6 - corr, Hx6)
 
@@ -208,9 +214,11 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     Hf_stack = Hf.reshape(U, 2 * M, 3)
     r_stack = r.reshape(U, 2 * M)
 
-    # nullspace projector Pi = I - Hf (Hf^T Hf)^+ Hf^T (see module docstring)
+    # nullspace projector Pi = I - Hf (Hf^T Hf)^+ Hf^T (see module docstring).
+    # Hf^T r and Hf^T H lie in range(Hf^T) = range(Hf^T Hf), where the
+    # closed-form Tikhonov inverse equals the pseudo-inverse to O(rcond).
     HtH = jnp.einsum("uri,urj->uij", Hf_stack, Hf_stack)  # (U, 3, 3)
-    Hpinv = pinv_sym3(HtH)  # (U, 3, 3)
+    Hpinv = tikhonov_inv_sym3(HtH, default_rcond(dt_))  # (U, 3, 3)
     # r~ = r - Hf pinv (Hf^T r); H~ = H - Hf pinv (Hf^T H)
     Hf_r = jnp.einsum("uri,ur->ui", Hf_stack, r_stack)
     r_t = r_stack - jnp.einsum("uri,uij,uj->ur", Hf_stack, Hpinv, Hf_r)
@@ -222,7 +230,10 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     S = jnp.einsum("urd,de,use->urs", H_t, state.P, H_t) + sigma2 * jnp.eye(
         2 * M, dtype=dt_
     )
-    sol = jnp.linalg.solve(S, r_t[..., None])[..., 0]  # (U, 2M)
+    # S is SPD (P PSD + sigma^2 I), so a batched Cholesky solve replaces the
+    # general LU the trace showed at ~1.1 ms/frame.
+    Lc = jnp.linalg.cholesky(S)
+    sol = jax.scipy.linalg.cho_solve((Lc, True), r_t[..., None])[..., 0]
     gamma = jnp.sum(r_t * sol, axis=-1)  # (U,)
     dof = jnp.clip(2 * n_obs - 3, 0, 2 * M)
     crit = jnp.asarray(cfg.chi2_table_np, dtype=dt_)[dof]
@@ -262,7 +273,7 @@ def apply_correction(cfg: MSCKFConfig, state: FilterState, A: jnp.ndarray, c: jn
     # --- IMU correction (`MSCKF.py:616-640`), ordering [th, bg, v, ba, p] ---
     imu = state.imu
     dR = so3_exp(delta[0:3])
-    R_new = svd_orthonormalize(imu.R_WI @ dR.T)
+    R_new = polar_orthonormalize(imu.R_WI @ dR.T)
     imu = imu.replace(
         R_WI=R_new,
         bg=imu.bg + delta[3:6],
@@ -275,7 +286,7 @@ def apply_correction(cfg: MSCKFConfig, state: FilterState, A: jnp.ndarray, c: jn
     # Invalid slots receive exactly zero delta (their P rows are zero). ---
     dcam = delta[15:].reshape(N, 6)
     dRc = so3_exp(dcam[:, 0:3])
-    Rc_new = svd_orthonormalize(state.cams.R @ jnp.swapaxes(dRc, -1, -2))
+    Rc_new = polar_orthonormalize(matmul_small(state.cams.R, transpose_small(dRc)))
     cams = state.cams.replace(R=Rc_new, t=state.cams.t + dcam[:, 3:6])
 
     return state.replace(imu=imu, cams=cams, P=P_new)

@@ -19,6 +19,7 @@ from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import CameraStates, TrackStore
 from msckf_tpu.filter.tracks import resolve_cam_slots
 from msckf_tpu.ops.geometry import skew
+from msckf_tpu.ops.smallmat import matmul_small, matvec_small, transpose_small
 
 
 class VerifyResult(NamedTuple):
@@ -46,8 +47,9 @@ def verify_matches(
     t1 = cams.t[slots]  # (F, M, 3)
 
     # T_C1_C2 = T_W_C1^-1 * T_W_C2 (`MSCKF.py:350`)
-    R12 = jnp.swapaxes(R1, -1, -2) @ cam_R  # (F, M, 3, 3)
-    t12 = ((cam_t - t1)[..., None, :] @ R1)[..., 0, :]  # (F, M, 3)  == R1^T (t2 - t1)
+    R1t = transpose_small(R1)
+    R12 = matmul_small(R1t, jnp.broadcast_to(cam_R, R1.shape))  # (F, M, 3, 3)
+    t12 = matvec_small(R1t, cam_t - t1)  # (F, M, 3) == R1^T (t2 - t1)
     baseline = jnp.linalg.norm(t12, axis=-1)
 
     kp1 = tracks.kp  # (F, M, 2) historical observations
@@ -56,11 +58,13 @@ def verify_matches(
     x2 = jnp.concatenate([kp2, jnp.ones((kp2.shape[0], 1), dtype=dt_)], axis=-1)  # (F, 3)
 
     # --- homography branch (`MSCKF.py:352-360`): H = K R12 K^-1 ---
-    H = K @ R12 @ Kinv  # (F, M, 3, 3)
-    Hinv = K @ jnp.swapaxes(R12, -1, -2) @ Kinv  # exact inverse
-    x1_pred = (Hinv @ x2[:, None, :, None])[..., 0]  # (F, M, 3)
+    Kb = jnp.broadcast_to(K, R12.shape)
+    Kinvb = jnp.broadcast_to(Kinv, R12.shape)
+    H = matmul_small(matmul_small(Kb, R12), Kinvb)  # (F, M, 3, 3)
+    Hinv = matmul_small(matmul_small(Kb, transpose_small(R12)), Kinvb)  # exact inverse
+    x1_pred = matvec_small(Hinv, jnp.broadcast_to(x2[:, None, :], H.shape[:2] + (3,)))
     x1_pred = x1_pred[..., :2] / x1_pred[..., 2:3]
-    x2_pred = (H @ x1[..., None])[..., 0]
+    x2_pred = matvec_small(H, x1)
     x2_pred = x2_pred[..., :2] / x2_pred[..., 2:3]
     # NOTE: the reference compares the *current* keypoint against H^-1 x2
     # (`MSCKF.py:358`) — reproduced literally.
@@ -70,8 +74,9 @@ def verify_matches(
     )
 
     # --- epipolar branch (`MSCKF.py:377-379`): F = K^-T [t]x R K^-1, signed ---
-    Fm = jnp.swapaxes(Kinv, 0, 1) @ skew(t12) @ R12 @ Kinv  # (F, M, 3, 3)
-    epi_score = jnp.einsum("fi,fmij,fmj->fm", x2, Fm, x1)
+    KinvT = jnp.broadcast_to(Kinv.T, R12.shape)
+    Fm = matmul_small(matmul_small(matmul_small(KinvT, skew(t12)), R12), Kinvb)
+    epi_score = jnp.sum(x2[:, None, :] * matvec_small(Fm, x1), axis=-1)
 
     short = baseline < 0.01
     reject = jnp.where(

@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from msckf_tpu.ops.geometry import idp_angles_m
+from msckf_tpu.ops.smallmat import (
+    default_rcond,
+    matvec_small,
+    tikhonov_inv_sym3,
+)
 
 
 def pinv_sym3(X: jax.Array, rcond: float = 1e-15) -> jax.Array:
@@ -51,8 +56,11 @@ def intersect_lines(
     P = I - d[..., :, None] * d[..., None, :]  # (M, 3, 3)
     Pw = P * w[..., None, None]
     X = jnp.sum(Pw, axis=-3)
-    y = jnp.sum((Pw @ bases[..., :, None])[..., 0], axis=-2)
-    return (pinv_sym3(X) @ y[..., None])[..., 0]
+    y = jnp.sum(matvec_small(Pw, bases), axis=-2)
+    # y lies in range(X) by construction (a sum of X-range terms), so the
+    # closed-form Tikhonov solve equals pinv(X) y to O(rcond) — no eigh.
+    Xi = tikhonov_inv_sym3(X, default_rcond(bases.dtype))
+    return matvec_small(Xi, y)
 
 
 def refine_inverse_depth_gn(
