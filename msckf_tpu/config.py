@@ -81,6 +81,14 @@ class MSCKFConfig:
     # overflow is counted).
     u_max: int = 128
 
+    # --- TPU build: triangulation ablation (BASELINE.json config 4) ---
+    # "lines": the reference's confidence-weighted line intersection
+    #          (`geometry.py:274-303`) — the parity path.
+    # "gn":    Gauss-Newton refinement of the anchored inverse-depth
+    #          parameters, seeded by the line intersection.
+    triangulation: str = "lines"
+    gn_iters: int = 5
+
     # --- numerics ---
     dtype: str = "float32"
 

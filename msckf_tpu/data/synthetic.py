@@ -111,10 +111,54 @@ def analytic_imu(
     return gyro, acc
 
 
-def generate_circle_sequence(
+def random_world_points(
+    rng: np.random.Generator,
+    n_points: int,
+    scale: np.ndarray,
+    origin: np.ndarray,
+    desc_dim: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Uniform box of 3D points with random unit descriptors
+    (`synthetic_generator.py:331-345`)."""
+    wp = rng.random((n_points, 3)) * np.asarray(scale, float) + np.asarray(origin, float)
+    wd = rng.random((n_points, desc_dim))
+    wd /= np.linalg.norm(wd, axis=1, keepdims=True)
+    return wp, wd
+
+
+def circle_segments() -> list:
+    """The "circular" preset (`synthetic_generator.py:390-399`): a closed
+    loop of four cubic segments."""
+    s2 = np.sqrt(2.0)
+    return [
+        ([[0, 0, 0], [s2, 2 - s2, 0], [2, 2, 0]], [[0, 0, 0], [0, 0, np.pi / 2]]),
+        ([[2, 2, 0], [s2, 2 + s2, 0], [0, 4, 0]], [[0, 0, np.pi / 2], [0, 0, np.pi]]),
+        ([[0, 4, 0], [-s2, 2 + s2, 0], [-2, 2, 0]], [[0, 0, np.pi], [0, 0, 3 * np.pi / 2]]),
+        ([[-2, 2, 0], [-s2, 2 - s2, 0], [0, 0, 0]], [[0, 0, 3 * np.pi / 2], [0, 0, 0]]),
+    ]
+
+
+def classic_segments() -> list:
+    """The "classic" preset (`synthetic_generator.py:402-421`): a rounded
+    rectangle of linear and cubic segments."""
+    pi = np.pi
+    return [
+        ([[0, 0, 0], [10, 0, 0]], [[0, 0, 0], [0, 0, pi / 2]]),
+        ([[10, 0, 0], [13.8, 1.2, 0], [15, 5, 0]], [[0, 0, pi / 2], [0, 0, pi / 2]]),
+        ([[15, 5, 0], [15, 10, 0]], [[0, 0, pi / 2], [0, 0, pi]]),
+        ([[15, 10, 0], [13.8, 13.8, 0], [10, 15, 0]], [[0, 0, pi], [0, 0, pi]]),
+        ([[10, 15, 0], [5, 15, 0]], [[0, 0, pi], [0, 0, 3 * pi / 2]]),
+        ([[5, 15, 0], [1.2, 13.8, 0], [0, 10, 0]], [[0, 0, 3 * pi / 2], [0, 0, 3 * pi / 2]]),
+        ([[0, 10, 0], [0, 0, 0]], [[0, 0, 3 * pi / 2], [0, 0, 2 * pi]]),
+    ]
+
+
+def generate_sequence(
+    segments: list,
+    world_points: np.ndarray,
+    world_descriptors: np.ndarray,
     rng: np.random.Generator | None = None,
     rate: float = 200.0,
-    n_world_points: int = 400,
     camera_every: int = 10,
     K: np.ndarray | None = None,
     R_WC: np.ndarray | None = None,
@@ -125,12 +169,12 @@ def generate_circle_sequence(
     sigma_gyro: float = 1e-5,
     sigma_ba: float = 1e-5,
     sigma_bg: float = 1e-6,
-    desc_dim: int = 10,
     stationary_prefix: int = 19,
     gravity: np.ndarray | None = None,
 ) -> SyntheticSequence:
-    """The reference's "circular" preset (`synthetic_generator.py:386-399`):
-    a closed loop of four cubic segments through a box of random points."""
+    """Full synthetic sequence from arbitrary waypoint segments + world
+    points: the general form of the reference's script
+    (`synthetic_generator.py:123-228,361-436`)."""
     rng = rng or np.random.default_rng(42)
     if K is None:
         K = np.array([[180.0, 0, 320], [0, 180.0, 240], [0, 0, 1]])
@@ -139,16 +183,10 @@ def generate_circle_sequence(
     if gravity is None:
         gravity = np.array([0.0, 0.0, -9.81])
     dt = 1.0 / rate
-    s2 = np.sqrt(2.0)
+    wp, wd = np.asarray(world_points, float), np.asarray(world_descriptors, float)
 
-    segs = [
-        ([[0, 0, 0], [s2, 2 - s2, 0], [2, 2, 0]], [[0, 0, 0], [0, 0, np.pi / 2]]),
-        ([[2, 2, 0], [s2, 2 + s2, 0], [0, 4, 0]], [[0, 0, np.pi / 2], [0, 0, np.pi]]),
-        ([[0, 4, 0], [-s2, 2 + s2, 0], [-2, 2, 0]], [[0, 0, np.pi], [0, 0, 3 * np.pi / 2]]),
-        ([[-2, 2, 0], [-s2, 2 - s2, 0], [0, 0, 0]], [[0, 0, 3 * np.pi / 2], [0, 0, 0]]),
-    ]
     Rs, ts = [], []
-    for pw, ow in segs:
+    for pw, ow in segments:
         r, p = segment_poses(np.array(pw, dtype=float), np.array(ow, dtype=float), rate)
         Rs.append(r)
         ts.append(p)
@@ -168,13 +206,6 @@ def generate_circle_sequence(
     acc += ba
     gyro[0] = 0
     acc[0] = 0
-
-    # world points in a 12 x 12 x 5 box at (-6, -4, 0) (`synthetic_generator.py:387`)
-    wp = rng.random((n_world_points, 3)) * np.array([12.0, 12.0, 5.0]) + np.array(
-        [-6.0, -4.0, 0.0]
-    )
-    wd = rng.random((n_world_points, desc_dim))
-    wd /= np.linalg.norm(wd, axis=1, keepdims=True)
 
     # project through the camera every ``camera_every`` ticks
     score_noisy = 1.0 / (1.0 + 2.0 * sigma_pixel**2)  # `synthetic_generator.py:219`
@@ -208,3 +239,29 @@ def generate_circle_sequence(
         world_points=wp,
         world_descriptors=wd,
     )
+
+
+def generate_circle_sequence(
+    rng: np.random.Generator | None = None,
+    n_world_points: int = 400,
+    desc_dim: int = 10,
+    **kwargs,
+) -> SyntheticSequence:
+    """Circle preset: 400 points in a 12x12x5 box at (-6,-4,0)
+    (`synthetic_generator.py:386-399`)."""
+    rng = rng or np.random.default_rng(42)
+    wp, wd = random_world_points(rng, n_world_points, [12.0, 12.0, 5.0], [-6.0, -4.0, 0.0], desc_dim)
+    return generate_sequence(circle_segments(), wp, wd, rng=rng, **kwargs)
+
+
+def generate_classic_sequence(
+    rng: np.random.Generator | None = None,
+    n_world_points: int = 200,
+    desc_dim: int = 10,
+    **kwargs,
+) -> SyntheticSequence:
+    """Classic preset: 200 points in a 35x35x5 box at (-10,-10,0)
+    (`synthetic_generator.py:402-404`)."""
+    rng = rng or np.random.default_rng(42)
+    wp, wd = random_world_points(rng, n_world_points, [35.0, 35.0, 5.0], [-10.0, -10.0, 0.0], desc_dim)
+    return generate_sequence(classic_segments(), wp, wd, rng=rng, **kwargs)

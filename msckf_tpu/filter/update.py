@@ -116,10 +116,32 @@ def triage_features(cfg: MSCKFConfig, state: FilterState, subset: jnp.ndarray) -
     new_m = idp_angles_m(W_v)
     new_rho = 1.0 / jnp.where(refresh, Ci_p[:, 2], 1.0)
 
-    tracks = tr.replace(
-        idp_m=jnp.where(refresh[:, None], new_m, tr.idp_m),
-        idp_rho=jnp.where(refresh, new_rho, tr.idp_rho),
-    )
+    if cfg.triangulation == "gn":
+        # ablation path: Gauss-Newton refinement of (theta, phi, rho) about
+        # the anchor, seeded by the line-intersection estimate
+        from msckf_tpu.ops.triangulation import refine_inverse_depth_gn
+
+        obs_slots, _ = resolve_cam_slots(tr.obs_cam_id, cams.cam_id)  # (F, M)
+        obs_R = cams.R[obs_slots]
+        obs_t = cams.t[obs_slots]
+        ones_m = jnp.ones(tr.kp.shape[:-1] + (1,), dtype=dt_)
+        z_obs = (jnp.concatenate([tr.kp, ones_m], -1) @ Kinv.T)[..., :2]
+        m_seed = jnp.where(refresh[:, None], new_m, tr.idp_m)
+        rho_seed = jnp.where(refresh, new_rho, tr.idp_rho)
+        gn_m, gn_rho = jax.vmap(
+            lambda b, m0, r0, Rm, tm, z, mk: refine_inverse_depth_gn(
+                b, m0, r0, Rm, tm, z, mk, iters=cfg.gn_iters
+            )
+        )(tr.idp_base, m_seed, rho_seed, obs_R, obs_t, z_obs, tr.obs_valid)
+        tracks = tr.replace(
+            idp_m=jnp.where(valid[:, None], gn_m, tr.idp_m),
+            idp_rho=jnp.where(valid, gn_rho, tr.idp_rho),
+        )
+    else:
+        tracks = tr.replace(
+            idp_m=jnp.where(refresh[:, None], new_m, tr.idp_m),
+            idp_rho=jnp.where(refresh, new_rho, tr.idp_rho),
+        )
     return TriageResult(tracks=tracks, valid=valid, lost=lost_out)
 
 
@@ -173,7 +195,7 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     zhat = Ci_f[..., :2] / z_safe
     ones = jnp.ones(kp.shape[:-1] + (1,), dtype=dt_)
     z = (jnp.concatenate([kp, ones], -1) @ Kinv.T)[..., :2]  # normalized coords
-    r = (z - zhat) * obs_valid[..., None]  # (U, M, 2)
+    r = jnp.where(obs_valid[..., None], z - zhat, 0.0)  # (U, M, 2)
 
     # projection Jacobian (`Camera.py:54-66`)
     inv_z = 1.0 / z_safe[..., 0]
@@ -202,8 +224,8 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     corr = Au[..., None] * (u_vec[..., None, :] / jnp.where(den > 1e-6, den, 1.0)[..., None, None])
     Hx6 = jnp.where((den > 1e-6)[..., None, None], Hx6 - corr, Hx6)
 
-    Hx6 = Hx6 * obs_valid[..., None, None]
-    Hf = Hf * obs_valid[..., None, None]
+    Hx6 = jnp.where(obs_valid[..., None, None], Hx6, 0.0)
+    Hf = jnp.where(obs_valid[..., None, None], Hf, 0.0)
 
     # place 6-col blocks at their camera slots -> (U, 2M, D)
     onehot = (jax.nn.one_hot(slots, N, dtype=dt_) * obs_valid[..., None])  # (U, M, N)
@@ -240,9 +262,13 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     passed = sel_ok & (gamma <= crit)  # NaN crit (dof 0) fails, like scipy
     n_rej = jnp.sum(sel_ok & ~passed).astype(jnp.int32)
 
-    w = passed.astype(dt_)
-    A = jnp.einsum("urd,ure->de", H_t * w[:, None, None], H_t)
-    c = jnp.einsum("urd,ur->d", H_t * w[:, None, None], r_t)
+    # where-mask (not multiply-mask): a rejected degenerate track can carry
+    # inf Jacobians (1/z^2 blow-ups the reference also produces, `Camera.py:57`),
+    # and inf * 0 would poison the accumulation with NaN.
+    H_w = jnp.where(passed[:, None, None], H_t, 0.0)
+    r_w = jnp.where(passed[:, None], r_t, 0.0)
+    A = jnp.einsum("urd,ure->de", H_w, H_w)
+    c = jnp.einsum("urd,ur->d", H_w, r_w)
     return UpdateTerms(
         A=A,
         c=c,

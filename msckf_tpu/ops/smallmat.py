@@ -85,11 +85,18 @@ def inv3(A: jnp.ndarray, det_eps: float = 0.0) -> jnp.ndarray:
 
 
 def tikhonov_inv_sym3(X: jnp.ndarray, rcond: float) -> jnp.ndarray:
-    """(X + rcond*tr(X)*I)^-1 for symmetric PSD X (batched, closed form)."""
+    """(X + rcond*tr(X)*I)^-1 for symmetric PSD X (batched, closed form).
+
+    Trace-normalizes before the adjugate inverse: cofactors square and the
+    determinant cubes the entry magnitudes, which overflows f32 for the
+    filter's 1/z^2-scaled Gram matrices. After normalization the eigenvalues
+    lie in [0, 3], so every intermediate stays O(1).
+    """
     tr = X[..., 0, 0] + X[..., 1, 1] + X[..., 2, 2]
-    eps = rcond * jnp.maximum(tr, 1e-30)
-    Xr = X + eps[..., None, None] * jnp.eye(3, dtype=X.dtype)
-    return inv3(Xr, det_eps=1e-300 if X.dtype == jnp.float64 else 1e-38)
+    floor = 1e-200 if X.dtype == jnp.float64 else 1e-20
+    scale = jnp.maximum(tr / 3.0, floor)[..., None, None]
+    Xn = X / scale + (3.0 * rcond) * jnp.eye(3, dtype=X.dtype)
+    return inv3(Xn, det_eps=1e-300 if X.dtype == jnp.float64 else 1e-38) / scale
 
 
 def polar_orthonormalize(R: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
