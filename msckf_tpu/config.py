@@ -88,6 +88,8 @@ class MSCKFConfig:
     #          parameters, seeded by the line intersection.
     triangulation: str = "lines"
     gn_iters: int = 5
+    # use Pallas kernels for TPU hot spots (falls back to XLA off-TPU)
+    use_pallas: bool = True
 
     # --- numerics ---
     dtype: str = "float32"
