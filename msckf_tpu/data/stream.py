@@ -178,3 +178,27 @@ def to_device(stream: PreparedStream, cfg: MSCKFConfig) -> PreparedStream:
         frames=cast(stream.frames),
         n_ticks=stream.n_ticks,
     )
+
+
+def suggest_capacities(cam_keypoints, max_camera_states: int = 30) -> dict:
+    """Heuristic buffer capacities for a dataset (zero-overflow on typical
+    track churn; `Diagnostics` counters report if a run ever exceeds them).
+
+    k_max covers the largest per-frame keypoint count; track slots hold the
+    live set (~matched + fresh spawns + recently-lost), bounded in practice
+    by ~2x the per-frame count.
+    """
+    max_kp = max((len(k) for k in cam_keypoints), default=0)
+
+    def round_up(x, m):
+        return ((int(x) + m - 1) // m) * m
+
+    k_max = max(round_up(max_kp, 128), 128)
+    f_max = max(round_up(2 * max_kp, 128), 256)
+    return dict(
+        k_max=k_max,
+        f_max=f_max,
+        u_max=48,
+        m_max=max_camera_states + 2,
+        n_cam_slots=max_camera_states + 2,
+    )
