@@ -56,6 +56,43 @@ class FeatureExtractor:
         return np.arange(len(desc1))[keep], m12[keep]
 
 
+def match_frames(extractor: FeatureExtractor, kp1, desc1, scores1, kp2, desc2, scores2):
+    """Match two raw frames, returning aligned (kp/desc/score) pairs
+    (`FeatureExtractor.py:86-117`; min_cossim defaults to upstream's 0.82)."""
+    i1, i2 = extractor.match(desc1, desc2, min_cossim=0.82)
+    out1 = (np.asarray(kp1)[i1], np.asarray(desc1)[i1], np.asarray(scores1)[i1])
+    out2 = (np.asarray(kp2)[i2], np.asarray(desc2)[i2], np.asarray(scores2)[i2])
+    return out1, out2
+
+
+def draw_matches(image1: np.ndarray, keypoints1: np.ndarray,
+                 image2: np.ndarray, keypoints2: np.ndarray) -> np.ndarray:
+    """Homography-RANSAC debug visualization (`FeatureExtractor.py:119-139`):
+    draw inlier matches and the warped corners of image1 on image2."""
+    import cv2
+
+    H, mask = cv2.findHomography(
+        keypoints1, keypoints2, cv2.USAC_MAGSAC, 3.5, maxIters=1000, confidence=0.999
+    )
+    mask = mask.flatten()
+    h, w = image1.shape[:2]
+    corners = np.array(
+        [[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], dtype=np.float32
+    ).reshape(-1, 1, 2)
+    warped = cv2.perspectiveTransform(corners, H)
+    img2 = image2.copy()
+    for i in range(len(warped)):
+        a = tuple(warped[i - 1][0].astype(int))
+        b = tuple(warped[i][0].astype(int))
+        cv2.line(img2, a, b, (0, 0, 255), 4)
+    kp1 = [cv2.KeyPoint(float(p[0]), float(p[1]), 5) for p in keypoints1]
+    kp2 = [cv2.KeyPoint(float(p[0]), float(p[1]), 5) for p in keypoints2]
+    matches = [cv2.DMatch(i, i, 0) for i in range(len(mask)) if mask[i]]
+    return cv2.drawMatches(
+        image1, kp1, img2, kp2, matches, None, matchColor=(0, 255, 0), flags=2
+    )
+
+
 def load_image_grayscale(path: str) -> np.ndarray:
     import cv2
 

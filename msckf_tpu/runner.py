@@ -148,8 +148,17 @@ def main(argv=None):
         "camera_updates_per_s": round(n_frames / run_s, 1),
     }
     report = results_report(m, prof)
-    pos_c, rot_c = m.consistency_fraction()
-    report += f" - Consistency (within 3-sigma): position {pos_c:.3f}, orientation {rot_c:.3f}\n"
+    from msckf_tpu.utils.consistency import consistency_report
+
+    cons = consistency_report(gt_R, gt_t, est_R, est_t, sig_rot, sig_pos)
+    report += " - Consistency:\n"
+    report += f"   - ATE within 3-sigma:  {cons['ate_within_3sigma']:.3f}\n"
+    report += f"   - AOE within 3-sigma:  {cons['aoe_within_3sigma']:.3f}\n"
+    report += (
+        f"   - NEES mean: {cons['nees_mean']:.2f} "
+        f"(chi2(6) {cons['nees_lo']:.2f}..{cons['nees_hi']:.2f}, "
+        f"in-bounds {cons['nees_within_bounds']:.3f})\n"
+    )
     print(report)
 
     if args.save_results:
