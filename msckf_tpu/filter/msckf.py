@@ -148,7 +148,7 @@ def camera_step(
         lambda s: s,
         state,
     )
-    return state.replace(has_tracks=jnp.any(state.tracks.valid))
+    return state
 
 
 class TickOutput(NamedTuple):

@@ -91,11 +91,10 @@ class FilterState:
     cams: CameraStates
     P: jnp.ndarray  # (D, D) error-state covariance, D = 15 + 6N
     tracks: TrackStore
-    # matching memory: the reference's `last_camera_measurement`
-    # (`MSCKF.py:311,436-444`). Fused descriptors are recomputed on the fly
-    # from the track store (score-weighted average over observations), but the
-    # "have we seen any features yet" flag is explicit state.
-    has_tracks: jnp.ndarray  # () bool — features dict non-empty (`MSCKF.py:291`)
+    # NOTE: the reference's `last_camera_measurement` (`MSCKF.py:311,436-444`)
+    # has no stored counterpart — fused descriptors are recomputed on the fly
+    # from the track store (score-weighted average over observations), and
+    # "features dict non-empty" (`MSCKF.py:291`) is any(tracks.valid).
     initialized: jnp.ndarray  # () bool — IMU initialized
     next_track_id: jnp.ndarray  # () int32
     diag: Diagnostics
@@ -153,7 +152,6 @@ def init_state(cfg: MSCKFConfig) -> FilterState:
         cams=cams,
         P=jnp.zeros((D, D), dtype=dt),
         tracks=tracks,
-        has_tracks=jnp.zeros((), dtype=bool),
         initialized=jnp.zeros((), dtype=bool),
         next_track_id=jnp.zeros((), dtype=jnp.int32),
         diag=diag,
