@@ -88,7 +88,6 @@ def spawn_tracks(
             (state.next_track_id + 1 + rank).astype(jnp.int32), **drop
         ),
     )
-    n_spawned = jnp.sum(spawn_mask & (rank < n_free)).astype(jnp.int32)
     diag = state.diag.replace(
         n_track_overflow=state.diag.n_track_overflow + overflow.astype(jnp.int32)
     )
@@ -96,7 +95,6 @@ def spawn_tracks(
         tracks=tracks,
         next_track_id=state.next_track_id + jnp.sum(spawn_mask).astype(jnp.int32),
         diag=diag,
-        has_tracks=state.has_tracks | (n_spawned > 0),
     )
 
 
