@@ -21,7 +21,19 @@ BASELINE_CAMERA_HZ = 7.0
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the tunneled remote compile can take
+    # minutes cold; cache hits bring reruns down to seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from msckf_tpu import make_initial_state, reference_experiment_config, run_sequence
@@ -30,8 +42,12 @@ def main():
 
     seq = generate_circle_sequence(rng=np.random.default_rng(0))
     # capacities sized to the sequence (validated: zero overflow, identical
-    # trajectory vs f_max=512; the overflow assert below keeps this honest)
-    cfg = reference_experiment_config(dtype="float32", f_max=256, u_max=48, k_max=384)
+    # trajectory vs f_max=512; the overflow assert below keeps this honest).
+    # desc_dim 16 covers the synthetic 10-d descriptors (zero-padding leaves
+    # cosine similarity unchanged).
+    cfg = reference_experiment_config(
+        dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16
+    )
     st = build_stream(
         cfg,
         seq.timestamps,

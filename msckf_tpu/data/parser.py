@@ -54,6 +54,18 @@ class Parser:
         return self._window(pd.read_csv(self.cam_file))
 
     def extract_synthetic_camera_measurements(self, path: str):
+        """Per-frame keypoint CSV (columns: timestamp, id, x, y, score,
+        descriptor_0..9). Uses the native mmap parser when built — this is
+        the per-frame hot path of dataset loading."""
+        from msckf_tpu.data import native_io
+
+        if native_io.have_native():
+            a = native_io.read_numeric_csv(path)
+            # columns: timestamp, id, x, y, score, descriptor_0..
+            kp = a[:, 2:4]
+            scores = a[:, 4]
+            desc = a[:, 5:15]
+            return kp, desc, scores
         df = pd.read_csv(path)
         kp = df[["x", "y"]].to_numpy(dtype=float)
         desc = df[[f"descriptor_{i}" for i in range(10)]].to_numpy(dtype=float)
