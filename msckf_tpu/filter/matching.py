@@ -60,7 +60,10 @@ def mutual_match(
     match21 = jnp.argmax(sim, axis=0)  # (K,)
 
     mutual = match21[match12] == jnp.arange(desc1.shape[0])
-    good = best12 > jnp.asarray(min_cossim, dtype=desc1.dtype)
+    if min_cossim > 0:  # upstream skips the similarity gate when <= 0
+        good = best12 > jnp.asarray(min_cossim, dtype=desc1.dtype)
+    else:
+        good = jnp.ones_like(mutual)
     track_matched = valid1 & mutual & good & valid2[match12]
 
     # keypoints consumed: scatter matched tracks' kp indices

@@ -117,9 +117,13 @@ def extend_tracks(
     W_v = (homog @ Kinv.T) @ cam_R.T  # (F, 3)
 
     rows = jnp.arange(F)
-    cols = jnp.where(accept, jnp.clip(tracks.n_obs, 0, M - 1), M)  # M -> dropped
+    # capacity guard: n_obs can never exceed the live camera count in
+    # reference semantics (one observation per camera, obs of marginalized
+    # cameras are deleted), but misconfigured m_max must not silently
+    # overwrite the newest observation
+    a = accept & (tracks.n_obs < M)
+    cols = jnp.where(a, jnp.clip(tracks.n_obs, 0, M - 1), M)  # M -> dropped
     drop = dict(mode="drop")
-    a = accept
     return tracks.replace(
         kp=tracks.kp.at[rows, cols].set(kp, **drop),
         desc=tracks.desc.at[rows, cols].set(desc, **drop),
