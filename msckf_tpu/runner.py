@@ -89,6 +89,12 @@ def main(argv=None):
     ap.add_argument("--data_root", default="./data")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--only_imu", action="store_true")
+    ap.add_argument(
+        "--batch", type=int, default=0,
+        help="filter N independent noise realizations of the sequence in "
+        "parallel (vmap, sharded over available devices) and report "
+        "per-sequence metrics — BASELINE config 5",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -102,6 +108,9 @@ def main(argv=None):
         accelerometer_random_walk=a_rw,
         gyroscope_random_walk=g_rw,
     )
+
+    if args.batch > 0:
+        return _run_batched(args, cfg)
 
     (imu_ts, gyro, acc, cam_ticks, kps, descs, scores, gt_R, gt_t) = _load_sequence(args)
     stream = build_stream(
@@ -169,6 +178,82 @@ def main(argv=None):
         _save_plots(m, out_dir)
         print(f"results written to {out_dir}")
     return m
+
+
+def _run_batched(args, cfg):
+    """BASELINE config 5: vmap N noise realizations of the synthetic circle
+    across the device mesh and report per-sequence RTE plus aggregate
+    throughput."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from msckf_tpu.data.synthetic import generate_circle_sequence
+    from msckf_tpu.parallel.batched import (
+        batched_initial_state,
+        data_mesh,
+        shard_batch,
+        sharded_run_sequence,
+    )
+
+    B = args.batch
+    seqs = [
+        generate_circle_sequence(rng=np.random.default_rng(100 + b)) for b in range(B)
+    ]
+    streams = [
+        build_stream(
+            cfg, s.timestamps, s.imu_gyro, s.imu_acc, s.cam_frame_ticks,
+            s.cam_keypoints, s.cam_descriptors, s.cam_scores,
+            max_ticks=args.max_frames,
+        )
+        for s in seqs
+    ]
+    import jax.numpy as jnp
+
+    def stack(dicts):
+        return {k: jnp.stack([jnp.asarray(d[k]) for d in dicts]) for k in dicts[0]}
+
+    def cast(d):
+        return {
+            k: (v.astype(cfg.jdtype) if v.dtype.kind == "f" else v)
+            for k, v in d.items()
+        }
+
+    prefix = cast(stack([s.prefix for s in streams]))
+    frames = cast(stack([s.frames for s in streams]))
+    R_inits = np.stack([s.R_init for s in streams])
+
+    n_dev = min(jax.device_count(), B)
+    while B % n_dev != 0:
+        n_dev -= 1
+    mesh = data_mesh(n_dev)
+    states = batched_initial_state(cfg, B, R_init=R_inits)
+    states = shard_batch(states, mesh)
+    prefix = shard_batch(prefix, mesh)
+    frames = shard_batch(frames, mesh)
+
+    run = sharded_run_sequence(cfg, mesh)
+    t0 = time.perf_counter()
+    final, pre_out, fr_out = run(states, prefix, frames)
+    jax.block_until_ready(final.imu.p_WI)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    final, pre_out, fr_out = run(states, prefix, frames)
+    jax.block_until_ready(final.imu.p_WI)
+    run_s = time.perf_counter() - t0
+
+    p_final = np.asarray(final.imu.p_WI)
+    errs = [
+        float(np.linalg.norm(p_final[b] - seqs[b].poses_t[streams[b].n_ticks - 1]))
+        for b in range(B)
+    ]
+    n_frames = frames["imu_ts"].shape[1]
+    print(f"batched VIO: {B} sequences on {n_dev} device(s)")
+    print(f" - compile: {compile_s:.1f} s; run: {run_s:.4f} s")
+    print(f" - aggregate camera updates/s: {B * n_frames / run_s:.0f}")
+    print(f" - final position errors [m]: {np.round(errs, 4).tolist()}")
+    return errs
 
 
 def _save_plots(m, out_dir):
