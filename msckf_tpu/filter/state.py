@@ -54,14 +54,31 @@ class CameraStates:
     n: jnp.ndarray  # () int32 active count (active slots are 0..n-1)
 
 
+# packed per-observation channel layout (one scatter/gather per mutation
+# instead of six — the track buffers are the camera step's bandwidth):
+#   [kp(2) | score(1) | line_base(3) | line_dir(3) | descriptor(desc_dim)]
+OBS_KP = slice(0, 2)
+OBS_SCORE = 2
+OBS_BASE = slice(3, 6)
+OBS_DIR = slice(6, 9)
+OBS_DESC = 9  # start of descriptor channels
+
+
+def obs_channels(desc_dim: int) -> int:
+    return OBS_DESC + desc_dim
+
+
+def pack_obs(kp, score, line_base, line_dir, desc):
+    """Stack per-observation fields into the packed channel layout."""
+    return jnp.concatenate(
+        [kp, score[..., None], line_base, line_dir, desc], axis=-1
+    )
+
+
 @struct.dataclass
 class TrackStore:
-    kp: jnp.ndarray  # (F, M, 2) pixel observations
-    desc: jnp.ndarray  # (F, M, Dd) per-observation descriptors
-    score: jnp.ndarray  # (F, M)
+    obs: jnp.ndarray  # (F, M, C) packed per-observation channels (see above)
     obs_cam_id: jnp.ndarray  # (F, M) int32 camera id of each observation
-    line_base: jnp.ndarray  # (F, M, 3) camera center at observation time (`MSCKF.py:305`)
-    line_dir: jnp.ndarray  # (F, M, 3) world ray at observation time
     obs_valid: jnp.ndarray  # (F, M) bool
     n_obs: jnp.ndarray  # (F,) int32 — observations are packed at the front
     idp_base: jnp.ndarray  # (F, 3) anchor position frozen at creation (`geometry.py:55`)
@@ -71,6 +88,27 @@ class TrackStore:
     lost: jnp.ndarray  # (F,) int32 lost_for_n_frames
     valid: jnp.ndarray  # (F,) bool live track
     track_id: jnp.ndarray  # (F,) int32 creation-order id (`MSCKF.py:109` counter)
+
+    # read views (slices fuse into consumers; writers scatter the packed obs)
+    @property
+    def kp(self):  # (F, M, 2) pixel observations
+        return self.obs[..., OBS_KP]
+
+    @property
+    def score(self):  # (F, M)
+        return self.obs[..., OBS_SCORE]
+
+    @property
+    def line_base(self):  # (F, M, 3) camera center at observation time (`MSCKF.py:305`)
+        return self.obs[..., OBS_BASE]
+
+    @property
+    def line_dir(self):  # (F, M, 3) world ray at observation time
+        return self.obs[..., OBS_DIR]
+
+    @property
+    def desc(self):  # (F, M, Dd) per-observation descriptors
+        return self.obs[..., OBS_DESC:]
 
 
 @struct.dataclass
@@ -124,12 +162,8 @@ def init_state(cfg: MSCKFConfig) -> FilterState:
         n=jnp.zeros((), dtype=i32),
     )
     tracks = TrackStore(
-        kp=jnp.zeros((F, M, 2), dtype=dt),
-        desc=jnp.zeros((F, M, Dd), dtype=dt),
-        score=jnp.zeros((F, M), dtype=dt),
+        obs=jnp.zeros((F, M, obs_channels(Dd)), dtype=dt),
         obs_cam_id=jnp.full((F, M), -1, dtype=i32),
-        line_base=jnp.zeros((F, M, 3), dtype=dt),
-        line_dir=jnp.zeros((F, M, 3), dtype=dt),
         obs_valid=jnp.zeros((F, M), dtype=bool),
         n_obs=jnp.zeros((F,), dtype=i32),
         idp_base=jnp.zeros((F, 3), dtype=dt),

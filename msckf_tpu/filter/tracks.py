@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from msckf_tpu.config import MSCKFConfig
-from msckf_tpu.filter.state import FilterState, TrackStore
+from msckf_tpu.filter.state import FilterState, TrackStore, pack_obs
 from msckf_tpu.ops.geometry import idp_angles_m
 
 
@@ -57,22 +57,16 @@ def spawn_tracks(
     Ci_v = homog @ Kinv.T  # (K, 3)
     W_v = Ci_v @ cam_R.T  # (K, 3)
 
+    obs0 = pack_obs(kp, score, jnp.broadcast_to(cam_t, (K, 3)), W_v, desc)  # (K, C)
+    C = obs0.shape[-1]
+    new_obs = jnp.zeros((K, cfg.m_max, C), dt_).at[:, 0].set(obs0)
+
     at = lambda a: a.at[slot]
     drop = dict(mode="drop")
     tracks = tr.replace(
-        kp=at(tr.kp).set(jnp.zeros((K, cfg.m_max, 2), dt_).at[:, 0].set(kp), **drop),
-        desc=at(tr.desc).set(
-            jnp.zeros((K, cfg.m_max, cfg.desc_dim), dt_).at[:, 0].set(desc), **drop
-        ),
-        score=at(tr.score).set(jnp.zeros((K, cfg.m_max), dt_).at[:, 0].set(score), **drop),
+        obs=at(tr.obs).set(new_obs, **drop),
         obs_cam_id=at(tr.obs_cam_id).set(
             jnp.full((K, cfg.m_max), -1, jnp.int32).at[:, 0].set(cam_id), **drop
-        ),
-        line_base=at(tr.line_base).set(
-            jnp.zeros((K, cfg.m_max, 3), dt_).at[:, 0].set(cam_t), **drop
-        ),
-        line_dir=at(tr.line_dir).set(
-            jnp.zeros((K, cfg.m_max, 3), dt_).at[:, 0].set(W_v), **drop
         ),
         obs_valid=at(tr.obs_valid).set(
             jnp.zeros((K, cfg.m_max), bool).at[:, 0].set(True), **drop
@@ -124,13 +118,10 @@ def extend_tracks(
     a = accept & (tracks.n_obs < M)
     cols = jnp.where(a, jnp.clip(tracks.n_obs, 0, M - 1), M)  # M -> dropped
     drop = dict(mode="drop")
+    new_row = pack_obs(kp, score, jnp.broadcast_to(cam_t, (F, 3)), W_v, desc)  # (F, C)
     return tracks.replace(
-        kp=tracks.kp.at[rows, cols].set(kp, **drop),
-        desc=tracks.desc.at[rows, cols].set(desc, **drop),
-        score=tracks.score.at[rows, cols].set(score, **drop),
+        obs=tracks.obs.at[rows, cols].set(new_row, **drop),
         obs_cam_id=tracks.obs_cam_id.at[rows, cols].set(cam_id, **drop),
-        line_base=tracks.line_base.at[rows, cols].set(jnp.broadcast_to(cam_t, (F, 3)), **drop),
-        line_dir=tracks.line_dir.at[rows, cols].set(W_v, **drop),
         obs_valid=tracks.obs_valid.at[rows, cols].set(True, **drop),
         n_obs=jnp.where(a, tracks.n_obs + 1, tracks.n_obs),
         tracked=jnp.where(a, tracks.tracked + 1, tracks.tracked),
@@ -150,17 +141,13 @@ def compact_observations(tracks: TrackStore, obs_keep: jnp.ndarray) -> TrackStor
     key = jnp.where(keep, 0, 1) * M + jnp.arange(M)[None, :]
     perm = jnp.argsort(key, axis=1)  # (F, M) kept-in-order first
 
-    g = lambda a: jnp.take_along_axis(a, perm.reshape(perm.shape + (1,) * (a.ndim - 2)), axis=1)
     new_valid_obs = jnp.take_along_axis(keep, perm, axis=1)
     n_obs = jnp.sum(keep, axis=1).astype(jnp.int32)
     track_alive = tracks.valid & (n_obs > 0)
+    obs = jnp.take_along_axis(tracks.obs, perm[..., None], axis=1)
     return tracks.replace(
-        kp=g(tracks.kp) * new_valid_obs[..., None],
-        desc=g(tracks.desc) * new_valid_obs[..., None],
-        score=jnp.take_along_axis(tracks.score, perm, axis=1) * new_valid_obs,
+        obs=jnp.where(new_valid_obs[..., None], obs, 0.0),
         obs_cam_id=jnp.where(new_valid_obs, jnp.take_along_axis(tracks.obs_cam_id, perm, axis=1), -1),
-        line_base=g(tracks.line_base) * new_valid_obs[..., None],
-        line_dir=g(tracks.line_dir) * new_valid_obs[..., None],
         obs_valid=new_valid_obs,
         n_obs=n_obs,
         valid=track_alive,

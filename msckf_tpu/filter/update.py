@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from msckf_tpu.config import MSCKFConfig
-from msckf_tpu.filter.state import FilterState, TrackStore
+from msckf_tpu.filter.state import OBS_KP, FilterState, TrackStore
 from msckf_tpu.filter.tracks import resolve_cam_slots
 from msckf_tpu.ops.geometry import idp_angles_m, skew, so3_exp
 from msckf_tpu.ops.smallmat import (
@@ -170,7 +170,7 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     n_overflow = jnp.sum(valid).astype(jnp.int32) - jnp.sum(sel_ok).astype(jnp.int32)
     sel_c = jnp.clip(sel, 0, F - 1)
 
-    kp = tr.kp[sel_c]  # (U, M, 2)
+    kp = tr.obs[sel_c][..., OBS_KP]  # (U, M, 2) — one packed gather
     obs_cam_id = tr.obs_cam_id[sel_c]
     obs_valid = tr.obs_valid[sel_c] & sel_ok[:, None]
     n_obs = jnp.where(sel_ok, tr.n_obs[sel_c], 0)

@@ -58,6 +58,13 @@ def nees_bounds(alpha: float = 0.05, dof: int = 6) -> tuple[float, float]:
 
 def consistency_report(gt_R, gt_t, est_R, est_t, sigma_rot, sigma_pos,
                        alpha: float = 0.05) -> dict:
+    # exclude the pre-initialization window, where the filter reports the
+    # constructor's zero covariance (`MSCKF.py:76,136-138`) and NEES is
+    # meaningless
+    live = (np.sum(sigma_rot, axis=-1) + np.sum(sigma_pos, axis=-1)) > 1e-20
+    gt_R, gt_t = gt_R[live], gt_t[live]
+    est_R, est_t = est_R[live], est_t[live]
+    sigma_rot, sigma_pos = sigma_rot[live], sigma_pos[live]
     nees = nees_series(gt_R, gt_t, est_R, est_t, sigma_rot, sigma_pos)
     lo, hi = nees_bounds(alpha)
     pos_in = np.abs(est_t - gt_t) <= 3 * np.sqrt(np.maximum(sigma_pos, 0))
