@@ -241,6 +241,20 @@ _TORCH_CONVS = {
 }
 
 
+def load_xfeat_checkpoint(path: str) -> dict:
+    """Load an upstream ``xfeat.pt`` checkpoint (torch state_dict) and convert
+    it to this model's Flax variable tree. The checkpoint is not bundled
+    (this environment has no network egress); download from
+    github.com/verlab/accelerated_features and pass the local path."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_torch_state_dict({k: v.numpy() for k, v in sd.items()},
+                                    strip="net." if any(k.startswith("net.") for k in sd) else "")
+
+
 def convert_torch_state_dict(state_dict: dict, strip: str = "net.") -> dict:
     """Map an upstream XFeat ``state_dict`` (torch tensors or numpy arrays)
     onto this model's Flax variable tree. Conv kernels transpose

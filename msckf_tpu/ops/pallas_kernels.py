@@ -29,11 +29,13 @@ def _gating_kernel(S_ref, r_ref, gamma_ref):
     U, n, _ = S_ref.shape
     A = S_ref[:]  # (U, n, n) resident in VMEM
     r = r_ref[:]  # (U, n)
-    row = jax.lax.broadcasted_iota(jnp.int32, (U, n), dimension=1)
 
+    row = jax.lax.broadcasted_iota(jnp.int32, (U, n), dimension=1)
     gamma = jnp.zeros((U,), dtype=S_ref.dtype)
-    # right-looking Cholesky + forward substitution, batched across U.
-    # Static unroll over the (small, fixed) residual dimension.
+    # right-looking Cholesky + fused forward substitution, batched across U.
+    # Static unroll over the (small, fixed) residual dimension. Full-size
+    # masked updates: uniform (U, n, n) shapes keep Mosaic layouts stable
+    # (trailing-submatrix shrinking forces per-step relayouts on TPU).
     for j in range(n):
         d = A[:, j, j]  # (U,)
         inv_sqrt_d = jax.lax.rsqrt(d)
