@@ -133,6 +133,44 @@ def _phi_q_for_tick(cfg: MSCKFConfig, imu: ImuState, gyro, acc, timestamp):
 @with_f32_matmuls
 def propagate_block(cfg: MSCKFConfig, state: FilterState,
                     ts_b, gyro_b, acc_b, valid_b):
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        return _propagate_block_fused(cfg, state, ts_b, gyro_b, acc_b, valid_b)
+    return _propagate_block_scan(cfg, state, ts_b, gyro_b, acc_b, valid_b)
+
+
+def _propagate_block_fused(cfg: MSCKFConfig, state: FilterState,
+                           ts_b, gyro_b, acc_b, valid_b):
+    """Single-kernel form of the block (ops/pallas_kernels.py)."""
+    from msckf_tpu.ops.pallas_kernels import propagate_block_fused
+
+    dt_ = cfg.jdtype
+    imu = state.imu
+    (R, pv, meta, P15, Phi_acc, outR, outp, outv, outsig) = propagate_block_fused(
+        imu.R_WI, imu.p_WI, imu.v_WI, imu.bg, imu.ba,
+        imu.timestamp, imu.prop_count,
+        ts_b, gyro_b, acc_b, valid_b,
+        jnp.asarray(cfg.noise_cov_diag_np, dtype=dt_),
+        jnp.asarray(cfg.gravity_np, dtype=dt_),
+        state.P[:15, :15],
+    )
+    n_done = jnp.sum(valid_b).astype(jnp.int32)
+    imu_new = imu.replace(
+        R_WI=R, p_WI=pv[0], v_WI=pv[1],
+        timestamp=meta[0, 0],
+        step_id=imu.step_id + n_done,
+        prop_count=meta[0, 1].astype(jnp.int32),
+    )
+    P = state.P
+    P_ic = Phi_acc @ P[:15, 15:]
+    P = P.at[:15, :15].set(P15)
+    P = P.at[:15, 15:].set(P_ic)
+    P = P.at[15:, :15].set(P_ic.T)
+    outs = (outR, outp, outv, outsig[:, 0:3], outsig[:, 3:6], valid_b)
+    return state.replace(imu=imu_new, P=P), outs
+
+
+def _propagate_block_scan(cfg: MSCKFConfig, state: FilterState,
+                          ts_b, gyro_b, acc_b, valid_b):
     """Propagate a block of B IMU ticks touching the padded covariance ONCE.
 
     TPU-first restructure of B consecutive ``process_imu`` calls: the inner
