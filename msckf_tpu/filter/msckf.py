@@ -206,10 +206,8 @@ def frame_step(cfg: MSCKFConfig, state: FilterState, frame: dict):
         frame["imu_ts"], frame["imu_gyro"], frame["imu_acc"], frame["imu_valid"]
     )
 
-    def prop0(s):
-        return propagate(cfg, s, gyro[0], acc[0], ts[0])
-
-    state = lax.cond(valid[0], prop0, lambda s: s, state)
+    # tick 0 as a 1-tick block (fused kernel on TPU; masked when invalid)
+    state, _ = propagate_block(cfg, state, ts[0:1], gyro[0:1], acc[0:1], valid[0:1])
 
     def cam(s):
         return camera_step(

@@ -84,97 +84,128 @@ def gating_gamma_reference(S: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 
-def _skew_k(w):
-    z = jnp.zeros_like(w[..., 0])
-    return jnp.stack(
-        [
-            jnp.stack([z, -w[..., 2], w[..., 1]], -1),
-            jnp.stack([w[..., 2], z, -w[..., 0]], -1),
-            jnp.stack([-w[..., 1], w[..., 0], z], -1),
-        ],
-        -2,
+# skew(w) as one (1,3) @ (3,9) matmul + reshape: Mosaic rejects tiny
+# stacked-from-scalar vector builds and (1,3) broadcasts, so every 3-vector
+# in the kernel lives as an explicit 2-D row (1,3) or column (3,1) and all
+# outer products / skews are matmuls.
+import numpy as _np
+
+# row i of skew(w) equals w_row @ _E_SKEW[3i:3i+3] — three tiny matmuls and a
+# concat, no reshapes (Mosaic rejects (1,9)->(3,3) shape casts in-kernel)
+_E_SKEW = _np.zeros((9, 3))
+_E_SKEW[1, 2] = 1.0   # row0 = (0, -wz, wy)
+_E_SKEW[2, 1] = -1.0
+_E_SKEW[3, 2] = -1.0  # row1 = (wz, 0, -wx)
+_E_SKEW[5, 0] = 1.0
+_E_SKEW[6, 1] = 1.0   # row2 = (-wy, wx, 0)
+_E_SKEW[7, 0] = -1.0
+
+
+def _skew_row(w_row, E):
+    """(1,3) row -> (3,3) skew matrix via three row matmuls."""
+    return jnp.concatenate(
+        [w_row @ E[0:3], w_row @ E[3:6], w_row @ E[6:9]], axis=0
     )
 
 
 def _propagate_block_kernel(
     nticks: int,
     # inputs
-    R0_ref, p0v0_ref, biases_ref, meta_ref, ts_ref, gyro_ref, acc_ref,
-    valid_ref, qc_ref, grav_ref, P15_ref,
+    R0_ref, p0v0_ref, meta_ref, ts_ref, gyro_ref, acc_ref,
+    valid_ref, qc_ref, grav_ref, gravcol_ref, P15_ref, E_ref,
     # outputs
     R_out, pv_out, ts_out, P15_out, phi_out, outR_ref, outp_ref, outv_ref,
     outsig_ref,
 ):
     dt_ = R0_ref.dtype
     R = R0_ref[:]
-    p = p0v0_ref[0, :]
-    v = p0v0_ref[1, :]
-    bg = biases_ref[0, :]
-    ba = biases_ref[1, :]
+    p = p0v0_ref[0:1, :]  # (1, 3) rows throughout
+    v = p0v0_ref[1:2, :]
+    bg = p0v0_ref[2:3, :]
+    ba = p0v0_ref[3:4, :]
     last_ts = meta_ref[0, 0]
     prop_count = meta_ref[0, 1]
-    gravity = grav_ref[0, :]
-    qc = qc_ref[0, :]  # (12,) diagonal
+    grav_row = grav_ref[:]  # (1, 3)
+    grav_col = gravcol_ref[:]  # (3, 1)
+    qc_tiled = qc_ref[:]  # (15, 12) rows all equal to the Qc diagonal
     P15 = P15_ref[:]
     Phi_acc = jnp.eye(15, dtype=dt_)
     I3 = jnp.eye(3, dtype=dt_)
+    I15 = jnp.eye(15, dtype=dt_)
+    E = E_ref[:]
+    Z13 = jnp.zeros((1, 3), dtype=dt_)
 
     for i in range(nticks):
         ts = ts_ref[0, i]
-        gyro = gyro_ref[i, :] - bg
-        acc = acc_ref[i, :] - ba
+        gyro = gyro_ref[i : i + 1, :] - bg  # (1, 3)
+        acc = acc_ref[i : i + 1, :] - ba
         valid = valid_ref[0, i] > 0
         dt = ts - last_ts
 
         first = prop_count == 0
         R_null = jnp.where(first, I3, R)
-        v_null = jnp.where(first, jnp.zeros(3, dtype=dt_), v)
-        p_null = jnp.where(first, jnp.zeros(3, dtype=dt_), p)
+        v_null = jnp.where(first, Z13, v)
+        p_null = jnp.where(first, Z13, p)
 
         # nominal integration (`IMU.py:78-100`)
         w_norm = jnp.sqrt(jnp.sum(gyro * gyro))
         theta = w_norm * dt
         axis = gyro / jnp.where(w_norm < 1e-30, 1.0, w_norm)
-        Kx = _skew_k(axis)
+        Kx = _skew_row(axis, E)
         dR = I3 + jnp.sin(theta) * Kx + (1.0 - jnp.cos(theta)) * (Kx @ Kx)
         dR = jnp.where(theta > 0, dR, I3)
         R_new = R @ dR
-        a_w = R @ acc - gravity
+        a_w = acc @ R.T - grav_row  # (1,3): row form of R @ acc - g
         p_new = p + v * dt + 0.5 * a_w * dt * dt
         v_new = v + a_w * dt
 
-        # continuous F, G; 3rd-order Taylor Phi; OC fix-up (`MSCKF.py:179-233`)
-        F = jnp.zeros((15, 15), dtype=dt_)
-        F = F.at[0:3, 0:3].set(-_skew_k(gyro))
-        F = F.at[0:3, 3:6].set(-I3)
-        F = F.at[6:9, 0:3].set(-(R_new @ _skew_k(acc)))
-        F = F.at[6:9, 9:12].set(-R_new)
-        F = F.at[12:15, 6:9].set(I3)
+        # continuous F; 3rd-order Taylor Phi; OC fix-up (`MSCKF.py:179-233`)
+        Z3 = jnp.zeros((3, 3), dtype=dt_)
+        Z3x15 = jnp.zeros((3, 15), dtype=dt_)
+        F = jnp.concatenate(
+            [
+                jnp.concatenate([-_skew_row(gyro, E), -I3, Z3, Z3, Z3], axis=1),
+                Z3x15,
+                jnp.concatenate(
+                    [-(R_new @ _skew_row(acc, E)), Z3, Z3, -R_new, Z3], axis=1
+                ),
+                Z3x15,
+                jnp.concatenate([Z3, Z3, I3, Z3, Z3], axis=1),
+            ],
+            axis=0,
+        )
         Fdt = F * dt
         Fdt2 = Fdt @ Fdt
-        Phi = jnp.eye(15, dtype=dt_) + Fdt + 0.5 * Fdt2 + (1.0 / 6.0) * (Fdt2 @ Fdt)
-        Phi = Phi.at[0:3, 0:3].set(R_new @ R_null.T)
-        u = R_null @ gravity
-        s = u / jnp.sum(u * u)
+        Phi = I15 + Fdt + 0.5 * Fdt2 + (1.0 / 6.0) * (Fdt2 @ Fdt)
+
+        # u in both orientations without transposing tiny tensors
+        u_col = R_null @ grav_col  # (3, 1)
+        u_row = grav_row @ R_null.T  # (1, 3)
+        s_row = u_row / jnp.sum(u_row * u_row)
         A_vel = Phi[6:9, 0:3]
         A_pos = Phi[12:15, 0:3]
-        w1 = _skew_k(v_null - v_new) @ gravity
-        w2 = _skew_k(dt * v_null + p_null - p_new) @ gravity
-        Phi = Phi.at[6:9, 0:3].set(A_vel - (A_vel @ u - w1)[:, None] * s[None, :])
-        Phi = Phi.at[12:15, 0:3].set(A_pos - (A_pos @ u - w2)[:, None] * s[None, :])
+        w1_col = _skew_row(v_null - v_new, E) @ grav_col  # (3, 1)
+        w2_col = _skew_row(dt * v_null + p_null - p_new, E) @ grav_col
+        corr_vel = (A_vel @ u_col - w1_col) @ s_row  # (3,1)@(1,3) outer
+        corr_pos = (A_pos @ u_col - w2_col) @ s_row
+        Phi = jnp.concatenate(
+            [
+                jnp.concatenate([R_new @ R_null.T, Phi[0:3, 3:]], axis=1),
+                Phi[3:6],
+                jnp.concatenate([A_vel - corr_vel, Phi[6:9, 3:]], axis=1),
+                Phi[9:12],
+                jnp.concatenate([A_pos - corr_pos, Phi[12:15, 3:]], axis=1),
+            ],
+            axis=0,
+        )
 
-        # G Qc G^T with diagonal Qc and G's +-identity / -R blocks
+        # Q = Phi G Qc G^T Phi^T dt with diagonal Qc and G's blocks
         # (`MSCKF.py:194-212`): PG = Phi @ G computed blockwise.
         PG = jnp.concatenate(
-            [
-                -Phi[:, 0:3],
-                Phi[:, 3:6],
-                -(Phi[:, 6:9] @ R_new),
-                Phi[:, 9:12],
-            ],
+            [-Phi[:, 0:3], Phi[:, 3:6], -(Phi[:, 6:9] @ R_new), Phi[:, 9:12]],
             axis=1,
         )  # (15, 12)
-        Q = (PG * qc[None, :]) @ PG.T * dt
+        Q = (PG * qc_tiled) @ PG.T * dt
 
         P15_new = Phi @ P15 @ Phi.T + Q
         P15_new = 0.5 * (P15_new + P15_new.T)
@@ -190,16 +221,17 @@ def _propagate_block_kernel(
         Phi_acc = jnp.where(valid, Phi_acc_new, Phi_acc)
 
         outR_ref[i, :, :] = R
-        outp_ref[i, :] = p
-        outv_ref[i, :] = v
-        outsig_ref[i, 0:3] = jnp.stack([P15[0, 0], P15[1, 1], P15[2, 2]])
-        outsig_ref[i, 3:6] = jnp.stack([P15[12, 12], P15[13, 13], P15[14, 14]])
+        outp_ref[i : i + 1, :] = p
+        outv_ref[i : i + 1, :] = v
+        diag_row = jnp.sum(P15 * I15, axis=0, keepdims=True)  # (1, 15)
+        outsig_ref[i : i + 1, 0:3] = diag_row[:, 0:3]
+        outsig_ref[i : i + 1, 3:6] = diag_row[:, 12:15]
 
     R_out[:] = R
-    pv_out[0, :] = p
-    pv_out[1, :] = v
-    ts_out[0, 0] = last_ts
-    ts_out[0, 1] = prop_count
+    pv_out[0:1, :] = p
+    pv_out[1:2, :] = v
+    e2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2), 1).astype(dt_)  # [[0, 1]]
+    ts_out[:] = last_ts * (1.0 - e2) + prop_count * e2
     P15_out[:] = P15
     phi_out[:] = Phi_acc
 
@@ -231,20 +263,21 @@ def propagate_block_fused(
             jax.ShapeDtypeStruct((B, 3), dt_),
             jax.ShapeDtypeStruct((B, 6), dt_),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9),
         interpret=interpret,
     )(
         R0,
-        jnp.stack([p0, v0]),
-        jnp.stack([bg, ba]),
+        jnp.stack([p0, v0, bg, ba]),
         jnp.stack([last_ts, prop_count.astype(dt_)]).reshape(1, 2),
         ts.reshape(1, B),
         gyro,
         acc,
         valid.astype(jnp.int32).reshape(1, B),
-        qc_diag.reshape(1, 12),
+        jnp.tile(qc_diag.reshape(1, 12), (15, 1)),
         gravity.reshape(1, 3),
+        gravity.reshape(3, 1),
         P15,
+        jnp.asarray(_E_SKEW, dtype=dt_),
     )
     return outs
