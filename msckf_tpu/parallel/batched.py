@@ -54,8 +54,8 @@ def batched_frame_step(cfg: MSCKFConfig, states: FilterState, frames: dict):
     return jax.vmap(lambda s, f: frame_step(cfg, s, f))(states, frames)
 
 
-def data_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def data_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), ("data",))

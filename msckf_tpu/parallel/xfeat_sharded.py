@@ -26,8 +26,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from msckf_tpu.models.xfeat import detect_and_compute
 
 
-def xfeat_mesh(n_data: int, n_model: int) -> Mesh:
-    devs = np.asarray(jax.devices()[: n_data * n_model]).reshape(n_data, n_model)
+def xfeat_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    devs = np.asarray(devs[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, ("data", "model"))
 
 
