@@ -197,6 +197,13 @@ def _run_batched(args, cfg):
         sharded_run_sequence,
     )
 
+    import dataclasses
+
+    # vmapped Pallas calls don't lower on TPU (leading batch dim violates the
+    # block-shape tiling rules); the batched path uses the XLA kernels — the
+    # batch dimension amortizes per-op overhead instead.
+    cfg = dataclasses.replace(cfg, use_pallas=False)
+
     B = args.batch
     seqs = [
         generate_circle_sequence(rng=np.random.default_rng(100 + b)) for b in range(B)
@@ -234,16 +241,16 @@ def _run_batched(args, cfg):
     frames = shard_batch(frames, mesh)
 
     run = sharded_run_sequence(cfg, mesh)
+    # NOTE: time around a host fetch — block_until_ready through the axon
+    # tunnel can return before the while-loop result is materialized
     t0 = time.perf_counter()
     final, pre_out, fr_out = run(states, prefix, frames)
-    jax.block_until_ready(final.imu.p_WI)
+    p_final = np.asarray(jax.device_get(final.imu.p_WI))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     final, pre_out, fr_out = run(states, prefix, frames)
-    jax.block_until_ready(final.imu.p_WI)
+    p_final = np.asarray(jax.device_get(final.imu.p_WI))
     run_s = time.perf_counter() - t0
-
-    p_final = np.asarray(final.imu.p_WI)
     errs = [
         float(np.linalg.norm(p_final[b] - seqs[b].poses_t[streams[b].n_ticks - 1]))
         for b in range(B)
