@@ -71,6 +71,38 @@ def shard_batch(tree, mesh: Mesh):
     return jax.tree.map(put, tree)
 
 
+def shardmap_run_sequence(cfg: MSCKFConfig, mesh: Mesh):
+    """One-trajectory-per-device scaling via shard_map (batch == mesh size).
+
+    Unlike the vmapped form (where ``lax.cond`` becomes run-both-branches
+    select and Pallas kernels can't lower), each device traces the plain
+    single-filter program — native conds, native kernels — so aggregate
+    throughput is the single-sequence rate times the device count, with zero
+    collectives.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape["data"]
+
+    def body(state, prefix, frames):
+        # local shard has leading dim 1: run the unbatched filter
+        state1 = jax.tree.map(lambda x: x[0], state)
+        prefix1 = {k: v[0] for k, v in prefix.items()}
+        frames1 = {k: v[0] for k, v in frames.items()}
+        final, pre_out, fr_out = run_sequence(cfg, state1, prefix1, frames1)
+        expand = lambda t: jax.tree.map(lambda x: x[None], t)
+        return expand(final), expand(pre_out), expand(fr_out)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_run_sequence(cfg: MSCKFConfig, mesh: Mesh):
     """jit-compiled batched sequence runner with batch-axis sharding.
 

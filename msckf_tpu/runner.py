@@ -201,8 +201,11 @@ def _run_batched(args, cfg):
 
     # vmapped Pallas calls don't lower on TPU (leading batch dim violates the
     # block-shape tiling rules); the batched path uses the XLA kernels — the
-    # batch dimension amortizes per-op overhead instead.
-    cfg = dataclasses.replace(cfg, use_pallas=False)
+    # batch dimension amortizes per-op overhead instead. Buffers sized for
+    # the synthetic fixture (validated zero-overflow, see bench.py).
+    cfg = dataclasses.replace(
+        cfg, use_pallas=False, f_max=192, u_max=32, k_max=256, desc_dim=16
+    )
 
     B = args.batch
     seqs = [

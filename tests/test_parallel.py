@@ -79,6 +79,45 @@ def test_sharded_run_8_devices():
         np.testing.assert_allclose(p[b], p[0], atol=1e-6)
 
 
+def test_shardmap_one_trajectory_per_device():
+    """shard_map scaling (batch == devices): each device runs the plain
+    unbatched filter (native conds), results equal the single-filter run."""
+    import functools
+
+    import __graft_entry__ as ge
+    from msckf_tpu.data.stream import build_stream, to_device
+    from msckf_tpu.data.synthetic import generate_circle_sequence
+    from msckf_tpu.filter.msckf import make_initial_state, run_sequence
+    from msckf_tpu.parallel.batched import shardmap_run_sequence
+
+    cfg = ge._small_cfg(dtype="float64", use_pallas=False)
+    seq = generate_circle_sequence(rng=np.random.default_rng(0), n_world_points=100, desc_dim=10)
+    st = build_stream(
+        cfg, seq.timestamps, seq.imu_gyro, seq.imu_acc, seq.cam_frame_ticks,
+        seq.cam_keypoints, seq.cam_descriptors, seq.cam_scores, max_ticks=120,
+    )
+    std = to_device(st, cfg)
+    mesh = data_mesh(8)
+    B = 8
+    states = batched_initial_state(cfg, B, R_init=std.R_init)
+    prefix = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), std.prefix)
+    frames = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), std.frames)
+    states = shard_batch(states, mesh)
+    prefix = shard_batch(prefix, mesh)
+    frames = shard_batch(frames, mesh)
+    final, _, _ = shardmap_run_sequence(cfg, mesh)(states, prefix, frames)
+    single, _, _ = jax.jit(functools.partial(run_sequence, cfg))(
+        make_initial_state(cfg, std.R_init), std.prefix, std.frames
+    )
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(final.imu.p_WI[b]), np.asarray(single.imu.p_WI), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.P[b]), np.asarray(single.P), atol=1e-12
+        )
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as ge
 
