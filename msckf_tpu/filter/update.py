@@ -236,6 +236,28 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     Hf_stack = Hf.reshape(U, 2 * M, 3)
     r_stack = r.reshape(U, 2 * M)
 
+    dof = jnp.clip(2 * n_obs - 3, 0, 2 * M)
+    crit = jnp.asarray(cfg.chi2_table_np, dtype=dt_)[dof]
+    sigma2 = jnp.asarray(cfg.sigma_image**2, dtype=dt_)
+
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        # fused kernel: nullspace projector -> chi2 gate -> masked A, c
+        # accumulation in one VMEM-resident pass (ops/pallas_kernels.py)
+        from msckf_tpu.ops.pallas_kernels import update_terms_fused
+
+        A, c, passed = update_terms_fused(
+            Hfull, Hf_stack, r_stack, state.P, crit, sel_ok,
+            cfg.sigma_image**2, default_rcond(dt_),
+        )
+        n_rej = jnp.sum(sel_ok & ~passed).astype(jnp.int32)
+        return UpdateTerms(
+            A=A,
+            c=c,
+            any_pass=jnp.any(passed),
+            n_gate_rejected=n_rej,
+            n_overflow=jnp.maximum(n_overflow, 0),
+        )
+
     # nullspace projector Pi = I - Hf (Hf^T Hf)^+ Hf^T (see module docstring).
     # Hf^T r and Hf^T H lie in range(Hf^T) = range(Hf^T Hf), where the
     # closed-form Tikhonov inverse equals the pseudo-inverse to O(rcond).
@@ -248,23 +270,12 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     H_t = Hfull - jnp.einsum("uri,uij,ujd->urd", Hf_stack, Hpinv, Hf_H)
 
     # chi-square gate (`MSCKF.py:561-568`), projector form (== basis form)
-    sigma2 = jnp.asarray(cfg.sigma_image**2, dtype=dt_)
     S = jnp.einsum("urd,de,use->urs", H_t, state.P, H_t) + sigma2 * jnp.eye(
         2 * M, dtype=dt_
     )
-    # S is SPD (P PSD + sigma^2 I): Cholesky-based quadratic form. On TPU the
-    # fused Pallas kernel replaces the CholeskyExpander + triangular-solve
-    # custom-calls the trace showed at ~0.5 ms/frame.
-    if cfg.use_pallas and jax.default_backend() == "tpu":
-        from msckf_tpu.ops.pallas_kernels import batched_gating_gamma
-
-        gamma = batched_gating_gamma(S, r_t)  # (U,)
-    else:
-        Lc = jnp.linalg.cholesky(S)
-        sol = jax.scipy.linalg.cho_solve((Lc, True), r_t[..., None])[..., 0]
-        gamma = jnp.sum(r_t * sol, axis=-1)  # (U,)
-    dof = jnp.clip(2 * n_obs - 3, 0, 2 * M)
-    crit = jnp.asarray(cfg.chi2_table_np, dtype=dt_)[dof]
+    Lc = jnp.linalg.cholesky(S)
+    sol = jax.scipy.linalg.cho_solve((Lc, True), r_t[..., None])[..., 0]
+    gamma = jnp.sum(r_t * sol, axis=-1)  # (U,)
     passed = sel_ok & (gamma <= crit)  # NaN crit (dof 0) fails, like scipy
     n_rej = jnp.sum(sel_ok & ~passed).astype(jnp.int32)
 

@@ -77,6 +77,175 @@ def gating_gamma_reference(S: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Fused update terms: nullspace projector -> gating statistic -> masked
+# information accumulation, one kernel over the whole update batch.
+# Replaces ~10 medium HLO thunks (einsums, cholesky custom-calls, masked
+# reductions) per EKF update. H (the stacked OC Jacobians) is built outside
+# (cheap broadcast work); everything that touches it repeatedly lives here.
+# --------------------------------------------------------------------------
+
+
+def _update_terms_kernel(
+    rcond: float,
+    H_ref,      # (U, 2M, D) stacked OC-projected Jacobian rows (pre-nullspace)
+    Hf_ref,     # (U, 2M, 3) feature-position Jacobian rows
+    r_ref,      # (U, 2M) residual rows
+    P_ref,      # (D, D) covariance
+    crit_ref,   # (1, U) chi2 critical values (NaN -> fail)
+    selok_ref,  # (1, U) int mask of real (non-padding) tracks
+    sig_ref,    # (1, 1) sigma^2
+    A_ref,      # out (D, D)
+    c_ref,      # out (1, D)
+    passed_ref, # out (1, U) int
+    Ht_scr,     # scratch (U, 2M, D)
+    S_scr,      # scratch (U, 2M, 2M)
+):
+    dt_ = H_ref.dtype
+    U, R2, D = H_ref.shape
+    H = H_ref[:]
+    Hf = Hf_ref[:]
+    r = r_ref[:]
+    P = P_ref[:]
+    sigma2 = sig_ref[0, 0]
+
+    # --- Pi = I - Hf (Hf^T Hf + eps I)^-1 Hf^T applied to r and H ---
+    # 3x3 grams per track via lane reductions (channel-sliced 2-D ops)
+    def gram(i, j):
+        return jnp.sum(Hf[:, :, i] * Hf[:, :, j], axis=1)  # (U,)
+
+    g00, g01, g02 = gram(0, 0), gram(0, 1), gram(0, 2)
+    g11, g12, g22 = gram(1, 1), gram(1, 2), gram(2, 2)
+    tr = g00 + g11 + g22
+    scale = jnp.maximum(tr / 3.0, 1e-20)
+    eps = 3.0 * rcond
+    a = g00 / scale + eps
+    b = g01 / scale
+    cc = g02 / scale
+    d = g11 / scale + eps
+    e = g12 / scale
+    f = g22 / scale + eps
+    co00 = d * f - e * e
+    co01 = cc * e - b * f
+    co02 = b * e - cc * d
+    co11 = a * f - cc * cc
+    co12 = cc * b - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + cc * co02
+    det = jnp.where(jnp.abs(det) < 1e-38, 1e-38, det)
+    inv_det = 1.0 / (det * scale)
+    # W = (HtH + eps)^+ entries (symmetric), scaled back
+    W00 = co00 * inv_det
+    W01 = co01 * inv_det
+    W02 = co02 * inv_det
+    W11 = co11 * inv_det
+    W12 = co12 * inv_det
+    W22 = co22 * inv_det
+
+    Hf0, Hf1, Hf2 = Hf[:, :, 0], Hf[:, :, 1], Hf[:, :, 2]  # (U, 2M)
+
+    # r~ = r - Hf W Hf^T r
+    t0 = jnp.sum(Hf0 * r, axis=1)  # (U,)
+    t1 = jnp.sum(Hf1 * r, axis=1)
+    t2 = jnp.sum(Hf2 * r, axis=1)
+    w0 = W00 * t0 + W01 * t1 + W02 * t2
+    w1 = W01 * t0 + W11 * t1 + W12 * t2
+    w2 = W02 * t0 + W12 * t1 + W22 * t2
+    r_t = r - (Hf0 * w0[:, None] + Hf1 * w1[:, None] + Hf2 * w2[:, None])
+
+    # H~ = H - Hf W (Hf^T H); Hf^T H via per-channel weighted row sums
+    B0 = jnp.sum(Hf0[:, :, None] * H, axis=1)  # (U, D)
+    B1 = jnp.sum(Hf1[:, :, None] * H, axis=1)
+    B2 = jnp.sum(Hf2[:, :, None] * H, axis=1)
+    C0 = W00[:, None] * B0 + W01[:, None] * B1 + W02[:, None] * B2
+    C1 = W01[:, None] * B0 + W11[:, None] * B1 + W12[:, None] * B2
+    C2 = W02[:, None] * B0 + W12[:, None] * B1 + W22[:, None] * B2
+    H_t = H - (
+        Hf0[:, :, None] * C0[:, None, :]
+        + Hf1[:, :, None] * C1[:, None, :]
+        + Hf2[:, :, None] * C2[:, None, :]
+    )
+
+    # --- gating: gamma_u = r~^T (H~ P H~^T + sigma^2 I)^-1 r~ ---
+    # per-track MXU matmuls, statically unrolled. Slices must go through a
+    # VMEM scratch ref: integer-indexing a ref yields a clean 2-D block,
+    # while squeezing an in-register rank-3 value is an unsupported Mosaic
+    # shape cast.
+    Ht_scr[:] = H_t
+    eyeR = jnp.eye(R2, dtype=dt_)
+    for u in range(U):
+        Hu = Ht_scr[u]  # (R2, D)
+        S_scr[u] = (Hu @ P) @ Hu.T + sigma2 * eyeR
+    S = S_scr[:]  # (U, R2, R2)
+    # batched Cholesky + forward substitution (same recurrence as the
+    # standalone gating kernel), vectorized across tracks
+    rv = r_t
+    Au = S
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (U, R2), dimension=1)
+    gamma = jnp.zeros((U,), dtype=dt_)
+    for j in range(R2):
+        dj = Au[:, j, j]
+        inv_sqrt = jax.lax.rsqrt(dj)
+        colj = Au[:, :, j] * inv_sqrt[:, None]
+        lcol = jnp.where(row2 >= j, colj, 0.0)
+        Au = Au - lcol[:, :, None] * lcol[:, None, :]
+        yj = rv[:, j] * inv_sqrt
+        rv = rv - jnp.where(row2 > j, lcol, 0.0) * yj[:, None]
+        gamma = gamma + yj * yj
+
+    crit = crit_ref[0, :]
+    selok = selok_ref[0, :] > 0
+    passed = selok & (gamma <= crit)  # NaN crit / NaN gamma -> fail
+
+    # --- masked accumulation A = sum H~^T H~, c = sum H~^T r~ ---
+    # (U,1,1) where-broadcasts are unsupported Mosaic shape casts; expand the
+    # mask to (U, R2) first, then broadcast along lanes only
+    # bool minor-dim insertion is unsupported in Mosaic: expand a 32-bit
+    # mask and compare at the target rank instead
+    passed_f = passed.astype(dt_)  # (U,)
+    pr_f = passed_f[:, None] * jnp.ones((U, R2), dtype=dt_)  # (U, R2)
+    H_w = jnp.where(pr_f[:, :, None] > 0.5, H_t, 0.0)
+    r_w = jnp.where(pr_f > 0.5, r_t, 0.0)
+    Ht_scr[:] = H_w
+    A_acc = jnp.zeros((D, D), dtype=dt_)
+    for u in range(U):
+        Hu = Ht_scr[u]
+        A_acc = A_acc + Hu.T @ Hu
+    A_ref[:] = A_acc
+    cx = jnp.sum(r_w[:, :, None] * H_w, axis=0)  # (R2, D)
+    c_ref[:] = jnp.sum(cx, axis=0, keepdims=True)  # (1, D)
+    passed_ref[0, :] = passed.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("rcond", "interpret"))
+def update_terms_fused(H, Hf, r, P, crit, sel_ok, sigma2, rcond, interpret=False):
+    """Fused projector + gate + accumulation. Returns (A, c, passed)."""
+    U, R2, D = H.shape
+    dt_ = H.dtype
+    kernel = functools.partial(_update_terms_kernel, rcond)
+    A, c, passed = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((D, D), dt_),
+            jax.ShapeDtypeStruct((1, D), dt_),
+            jax.ShapeDtypeStruct((1, U), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        scratch_shapes=[
+            pltpu.VMEM((U, R2, D), dt_),
+            pltpu.VMEM((U, R2, R2), dt_),
+        ],
+        interpret=interpret,
+    )(
+        H, Hf, r, P,
+        crit.reshape(1, U),
+        sel_ok.astype(jnp.int32).reshape(1, U),
+        jnp.asarray(sigma2, dt_).reshape(1, 1),
+    )
+    return A, c[0], passed[0] > 0
+
+
+# --------------------------------------------------------------------------
 # Fused IMU-block propagation: B sequential OC-EKF ticks in one kernel.
 # Replaces the inner lax.scan of propagate_block (the per-tick 15x15 math ran
 # as ~10 HLO thunks per tick). All state lives in VMEM for the whole block;
