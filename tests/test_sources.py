@@ -1,0 +1,36 @@
+"""Source-format coverage: PeringLab raw-trajectory format and the IMU-only
+runner path."""
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+
+def test_peringlab_trajectory_format(tmp_path):
+    """PeringLab raw format: comma-separated with a timestamp column and
+    w-first quaternion (`photorealistic_generator.py:22-24`)."""
+    from msckf_tpu.data.photorealistic import load_raw_trajectory
+
+    rng = np.random.default_rng(0)
+    n = 6
+    t = rng.normal(size=(n, 3))
+    q = Rotation.random(n, random_state=1).as_quat()  # x,y,z,w
+    rows = []
+    for i in range(n):
+        rows.append([i * 0.05, *t[i], q[i][3], q[i][0], q[i][1], q[i][2]])
+    path = tmp_path / "trajectory.csv"
+    np.savetxt(path, np.asarray(rows), delimiter=",",
+               header="timestamp,x,y,z,qw,qx,qy,qz", comments="")
+    R, tt = load_raw_trajectory(str(path), "peringlab")
+    np.testing.assert_allclose(tt, t, atol=1e-9)
+    for i in range(n):
+        np.testing.assert_allclose(R[i], Rotation.from_quat(q[i]).as_matrix(), atol=1e-9)
+
+
+def test_runner_only_imu(tmp_path):
+    from msckf_tpu.runner import main
+
+    m = main(
+        ["--source", "synthetic", "--max_frames", "300",
+         "--dtype", "float64", "--only_imu", "--data_root", str(tmp_path)]
+    )
+    assert np.isfinite(m.mean_rte)
