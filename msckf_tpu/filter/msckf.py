@@ -36,7 +36,7 @@ from msckf_tpu.filter.marginalization import (
     remove_cameras,
 )
 from msckf_tpu.filter.matching import fused_descriptors, mutual_match
-from msckf_tpu.filter.propagation import propagate, propagate_block
+from msckf_tpu.filter.propagation import propagate_block
 from msckf_tpu.filter.state import FilterState, init_state
 from msckf_tpu.filter.tracks import extend_tracks, spawn_tracks
 from msckf_tpu.filter.update import ekf_update, triage_features
