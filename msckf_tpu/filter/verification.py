@@ -45,38 +45,48 @@ def verify_matches(
     slots, _ = resolve_cam_slots(tracks.obs_cam_id, cams.cam_id)  # (F, M)
     R1 = cams.R[slots]  # (F, M, 3, 3)
     t1 = cams.t[slots]  # (F, M, 3)
-
-    # T_C1_C2 = T_W_C1^-1 * T_W_C2 (`MSCKF.py:350`)
-    R1t = transpose_small(R1)
-    R12 = matmul_small(R1t, jnp.broadcast_to(cam_R, R1.shape))  # (F, M, 3, 3)
-    t12 = matvec_small(R1t, cam_t - t1)  # (F, M, 3) == R1^T (t2 - t1)
-    baseline = jnp.linalg.norm(t12, axis=-1)
-
     kp1 = tracks.kp  # (F, M, 2) historical observations
-    ones1 = jnp.ones(kp1.shape[:-1] + (1,), dtype=dt_)
-    x1 = jnp.concatenate([kp1, ones1], axis=-1)  # (F, M, 3)
-    x2 = jnp.concatenate([kp2, jnp.ones((kp2.shape[0], 1), dtype=dt_)], axis=-1)  # (F, 3)
 
-    # --- homography branch (`MSCKF.py:352-360`): H = K R12 K^-1 ---
-    Kb = jnp.broadcast_to(K, R12.shape)
-    Kinvb = jnp.broadcast_to(Kinv, R12.shape)
-    H = matmul_small(matmul_small(Kb, R12), Kinvb)  # (F, M, 3, 3)
-    Hinv = matmul_small(matmul_small(Kb, transpose_small(R12)), Kinvb)  # exact inverse
-    x1_pred = matvec_small(Hinv, jnp.broadcast_to(x2[:, None, :], H.shape[:2] + (3,)))
-    x1_pred = x1_pred[..., :2] / x1_pred[..., 2:3]
-    x2_pred = matvec_small(H, x1)
-    x2_pred = x2_pred[..., :2] / x2_pred[..., 2:3]
-    # NOTE: the reference compares the *current* keypoint against H^-1 x2
-    # (`MSCKF.py:358`) — reproduced literally.
-    homo_score = 0.5 * (
-        jnp.linalg.norm(kp2[:, None, :] - x1_pred, axis=-1)
-        + jnp.linalg.norm(kp1 - x2_pred, axis=-1)
-    )
+    import jax
 
-    # --- epipolar branch (`MSCKF.py:377-379`): F = K^-T [t]x R K^-1, signed ---
-    KinvT = jnp.broadcast_to(Kinv.T, R12.shape)
-    Fm = matmul_small(matmul_small(matmul_small(KinvT, skew(t12)), R12), Kinvb)
-    epi_score = jnp.sum(x2[:, None, :] * matvec_small(Fm, x1), axis=-1)
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        # fused plane-algebra kernel (ops/pallas_kernels.py)
+        from msckf_tpu.ops.pallas_kernels import verification_scores
+
+        homo_score, epi_score, baseline = verification_scores(
+            R1, t1, kp1, kp2, cam_R, cam_t, K, Kinv
+        )
+    else:
+        # T_C1_C2 = T_W_C1^-1 * T_W_C2 (`MSCKF.py:350`)
+        R1t = transpose_small(R1)
+        R12 = matmul_small(R1t, jnp.broadcast_to(cam_R, R1.shape))  # (F, M, 3, 3)
+        t12 = matvec_small(R1t, cam_t - t1)  # (F, M, 3) == R1^T (t2 - t1)
+        baseline = jnp.linalg.norm(t12, axis=-1)
+
+        ones1 = jnp.ones(kp1.shape[:-1] + (1,), dtype=dt_)
+        x1 = jnp.concatenate([kp1, ones1], axis=-1)  # (F, M, 3)
+        x2 = jnp.concatenate([kp2, jnp.ones((kp2.shape[0], 1), dtype=dt_)], axis=-1)
+
+        # --- homography branch (`MSCKF.py:352-360`): H = K R12 K^-1 ---
+        Kb = jnp.broadcast_to(K, R12.shape)
+        Kinvb = jnp.broadcast_to(Kinv, R12.shape)
+        H = matmul_small(matmul_small(Kb, R12), Kinvb)  # (F, M, 3, 3)
+        Hinv = matmul_small(matmul_small(Kb, transpose_small(R12)), Kinvb)
+        x1_pred = matvec_small(Hinv, jnp.broadcast_to(x2[:, None, :], H.shape[:2] + (3,)))
+        x1_pred = x1_pred[..., :2] / x1_pred[..., 2:3]
+        x2_pred = matvec_small(H, x1)
+        x2_pred = x2_pred[..., :2] / x2_pred[..., 2:3]
+        # NOTE: the reference compares the *current* keypoint against H^-1 x2
+        # (`MSCKF.py:358`) — reproduced literally.
+        homo_score = 0.5 * (
+            jnp.linalg.norm(kp2[:, None, :] - x1_pred, axis=-1)
+            + jnp.linalg.norm(kp1 - x2_pred, axis=-1)
+        )
+
+        # --- epipolar branch (`MSCKF.py:377-379`): F = K^-T [t]x R K^-1 ---
+        KinvT = jnp.broadcast_to(Kinv.T, R12.shape)
+        Fm = matmul_small(matmul_small(matmul_small(KinvT, skew(t12)), R12), Kinvb)
+        epi_score = jnp.sum(x2[:, None, :] * matvec_small(Fm, x1), axis=-1)
 
     short = baseline < 0.01
     reject = jnp.where(

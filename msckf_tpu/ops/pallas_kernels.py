@@ -246,6 +246,166 @@ def update_terms_fused(H, Hf, r, P, crit, sel_ok, sigma2, rcond, interpret=False
 
 
 # --------------------------------------------------------------------------
+# Fused geometric-verification scores: the two-tier homography/epipolar
+# residuals for every (track, observation) pair in one kernel.
+# Representation: every 3x3 matrix field over (F, M) is nine (F, M) "planes"
+# (channel slices of a rank-3 input), every constant matrix a scalar grid —
+# all arithmetic is plane * plane or plane * scalar, the Mosaic-safe subset.
+# --------------------------------------------------------------------------
+
+
+def _mm_pp_sc(Ap, B, transpose_a=False):
+    """plane-matrix @ scalar-matrix -> plane-matrix (row-major plane lists)."""
+    out = []
+    for i in range(3):
+        for j in range(3):
+            acc = None
+            for k in range(3):
+                a = Ap[k * 3 + i] if transpose_a else Ap[i * 3 + k]
+                term = a * B[k][j]
+                acc = term if acc is None else acc + term
+            out.append(acc)
+    return out
+
+
+def _mm_sc_pp(A, Bp):
+    out = []
+    for i in range(3):
+        for j in range(3):
+            acc = None
+            for k in range(3):
+                term = Bp[k * 3 + j] * A[i][k]
+                acc = term if acc is None else acc + term
+            out.append(acc)
+    return out
+
+
+def _mm_pp_pp(Ap, Bp):
+    out = []
+    for i in range(3):
+        for j in range(3):
+            acc = None
+            for k in range(3):
+                term = Ap[i * 3 + k] * Bp[k * 3 + j]
+                acc = term if acc is None else acc + term
+            out.append(acc)
+    return out
+
+
+def _mv_pp(Ap, x):
+    """plane-matrix @ plane-vector (3 planes) -> 3 planes."""
+    return [
+        Ap[i * 3 + 0] * x[0] + Ap[i * 3 + 1] * x[1] + Ap[i * 3 + 2] * x[2]
+        for i in range(3)
+    ]
+
+
+def _verification_kernel(
+    R1_ref,   # (9, Nr, 128) rotation planes, channel-first (N = F*M padded)
+    t1_ref,   # (3, Nr, 128) center planes
+    kp1_ref,  # (2, Nr, 128) historical keypoint planes
+    kp2_ref,  # (2, Nr, 128) matched keypoint planes (repeated per observation)
+    camR_ref,  # (3, 3) current camera rotation
+    camt_ref,  # (1, 3) current camera center
+    K_ref,     # (3, 3)
+    Kinv_ref,  # (3, 3)
+    homo_ref,  # out (Nr, 128)
+    epi_ref,   # out (Nr, 128)
+    base_ref,  # out (Nr, 128)
+):
+    # channel-first layout: every plane is a dense (Nr, 128) tile — both the
+    # lane and sublane axes carry real data, keeping VMEM within budget
+    # (lane-padding (N, 1) columns or (F, M=32) planes to 128 lanes blew it).
+    R1p = [R1_ref[c] for c in range(9)]
+    t1 = [t1_ref[c] for c in range(3)]
+    kp1x = kp1_ref[0]
+    kp1y = kp1_ref[1]
+    kp2x = kp2_ref[0]
+    kp2y = kp2_ref[1]
+    camR = [[camR_ref[i, j] for j in range(3)] for i in range(3)]
+    camt = [camt_ref[0, i] for i in range(3)]
+    K = [[K_ref[i, j] for j in range(3)] for i in range(3)]
+    Kinv = [[Kinv_ref[i, j] for j in range(3)] for i in range(3)]
+    KinvT = [[Kinv[j][i] for j in range(3)] for i in range(3)]
+    one = jnp.ones_like(kp1x)
+
+    # T_C1_C2 = T1^-1 T2: R12 = R1^T camR, t12 = R1^T (camt - t1)
+    R12 = _mm_pp_sc(R1p, camR, transpose_a=True)
+    d = [camt[i] - t1[i] for i in range(3)]
+    t12 = [
+        R1p[0 * 3 + i] * d[0] + R1p[1 * 3 + i] * d[1] + R1p[2 * 3 + i] * d[2]
+        for i in range(3)
+    ]
+    base_ref[:] = jnp.sqrt(t12[0] * t12[0] + t12[1] * t12[1] + t12[2] * t12[2])
+
+
+    # homography branch: H = K R12 Kinv, Hinv = K R12^T Kinv (`MSCKF.py:352-358`)
+    H = _mm_pp_sc(_mm_sc_pp(K, R12), Kinv)
+    R12T = [R12[j * 3 + i] for i in range(3) for j in range(3)]
+    Hinv = _mm_pp_sc(_mm_sc_pp(K, R12T), Kinv)
+    x2h = [kp2x, kp2y, one]
+    x1h = [kp1x, kp1y, one]
+    x1p = _mv_pp(Hinv, x2h)
+    x2p = _mv_pp(H, x1h)
+    z1 = jnp.where(jnp.abs(x1p[2]) < 1e-30, 1e-30, x1p[2])
+    z2 = jnp.where(jnp.abs(x2p[2]) < 1e-30, 1e-30, x2p[2])
+    e1x = kp2x - x1p[0] / z1
+    e1y = kp2y - x1p[1] / z1
+    e2x = kp1x - x2p[0] / z2
+    e2y = kp1y - x2p[1] / z2
+    homo_ref[:] = 0.5 * (
+        jnp.sqrt(e1x * e1x + e1y * e1y) + jnp.sqrt(e2x * e2x + e2y * e2y)
+    )
+
+    # epipolar branch: Fm = Kinv^T [t12]x R12 Kinv; score = x2^T Fm x1, signed
+    # (`MSCKF.py:377-379`)
+    zero = jnp.zeros_like(kp1x)
+    skew_t = [zero, -t12[2], t12[1], t12[2], zero, -t12[0], -t12[1], t12[0], zero]
+    Fm = _mm_pp_sc(_mm_sc_pp(KinvT, _mm_pp_pp(skew_t, R12)), Kinv)
+    Fx1 = _mv_pp(Fm, x1h)
+    epi_ref[:] = x2h[0] * Fx1[0] + x2h[1] * Fx1[1] + x2h[2] * Fx1[2]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def verification_scores(R1, t1, kp1, kp2, camR, camt, K, Kinv, interpret=False):
+    """(homography symmetric transfer error, signed epipolar residual,
+    baseline norm) for every (track, observation) pair.
+
+    R1: (F, M, 3, 3) (flattened to (F*M, 9) planes internally), t1: (F, M, 3),
+    kp1: (F, M, 2), kp2: (F, 2). Returns three (F, M) arrays.
+    """
+    F, M = t1.shape[0], t1.shape[1]
+    N = F * M
+    Np = -(-N // 128) * 128
+    Nr = Np // 128
+    dt_ = t1.dtype
+
+    def planes(x, C):
+        flat = x.reshape(N, C)
+        flat = jnp.pad(flat, ((0, Np - N), (0, 0)))
+        return flat.T.reshape(C, Nr, 128)
+
+    out_shape = tuple(jax.ShapeDtypeStruct((Nr, 128), dt_) for _ in range(3))
+    homo, epi, base = pl.pallas_call(
+        _verification_kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        interpret=interpret,
+    )(
+        planes(R1, 9), planes(t1, 3), planes(kp1, 2),
+        planes(jnp.broadcast_to(kp2[:, None, :], (F, M, 2)), 2),
+        camR.astype(dt_), camt.reshape(1, 3).astype(dt_),
+        K.astype(dt_), Kinv.astype(dt_),
+    )
+
+    def unplane(x):
+        return x.reshape(Np)[:N].reshape(F, M)
+
+    return unplane(homo), unplane(epi), unplane(base)
+
+
+# --------------------------------------------------------------------------
 # Fused IMU-block propagation: B sequential OC-EKF ticks in one kernel.
 # Replaces the inner lax.scan of propagate_block (the per-tick 15x15 math ran
 # as ~10 HLO thunks per tick). All state lives in VMEM for the whole block;
