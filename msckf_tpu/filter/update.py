@@ -93,28 +93,41 @@ def triage_features(cfg: MSCKFConfig, state: FilterState, subset: jnp.ndarray) -
     lost_out = sub & lost_f
 
     # --- triangulate + refresh IDP for valid tracks (`MSCKF.py:480-491`) ---
-    W_p = jax.vmap(intersect_lines)(tr.line_base, tr.line_dir, tr.score, tr.obs_valid)
     anchor_slot, _ = resolve_cam_slots(tr.obs_cam_id[:, 0], cams.cam_id)  # (F,)
     R_a = cams.R[anchor_slot]  # (F, 3, 3)
     t_a = cams.t[anchor_slot]
-    Ci_p = matvec_small(transpose_small(R_a), W_p - t_a)  # R_a^T (W_p - t_a)
     K = jnp.asarray(cfg.K_np, dtype=dt_)
     Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
-    z_safe = jnp.where(jnp.abs(Ci_p[:, 2:3]) < 1e-30, 1e-30, Ci_p[:, 2:3])
-    Im_p = (Ci_p @ K.T)[:, :2] / z_safe  # pinhole projection (`Camera.py:20-21`)
-    in_front = Ci_p[:, 2] > 0
-    in_fov = (
-        (Im_p[:, 0] >= 0)
-        & (Im_p[:, 0] < cfg.width)
-        & (Im_p[:, 1] >= 0)
-        & (Im_p[:, 1] < cfg.height)
-    )
-    refresh = valid & in_front & in_fov
 
-    homog = jnp.concatenate([Im_p, jnp.ones((Im_p.shape[0], 1), dtype=dt_)], axis=-1)
-    W_v = matvec_small(R_a, homog @ Kinv.T)
-    new_m = idp_angles_m(W_v)
-    new_rho = 1.0 / jnp.where(refresh, Ci_p[:, 2], 1.0)
+    if cfg.use_pallas and jax.default_backend() == "tpu" and cfg.triangulation != "gn":
+        from msckf_tpu.ops.pallas_kernels import triage_refresh_fused
+        from msckf_tpu.ops.smallmat import default_rcond as _rcond
+
+        weights = jnp.where(tr.obs_valid, tr.score, 0.0)
+        new_m, new_rho_raw, proj_ok = triage_refresh_fused(
+            tr.line_base, tr.line_dir, weights, R_a, t_a, K, Kinv,
+            _rcond(dt_), cfg.width, cfg.height,
+        )
+        refresh = valid & proj_ok
+        new_rho = jnp.where(refresh, new_rho_raw, 1.0)
+    else:
+        W_p = jax.vmap(intersect_lines)(tr.line_base, tr.line_dir, tr.score, tr.obs_valid)
+        Ci_p = matvec_small(transpose_small(R_a), W_p - t_a)  # R_a^T (W_p - t_a)
+        z_safe = jnp.where(jnp.abs(Ci_p[:, 2:3]) < 1e-30, 1e-30, Ci_p[:, 2:3])
+        Im_p = (Ci_p @ K.T)[:, :2] / z_safe  # pinhole projection (`Camera.py:20-21`)
+        in_front = Ci_p[:, 2] > 0
+        in_fov = (
+            (Im_p[:, 0] >= 0)
+            & (Im_p[:, 0] < cfg.width)
+            & (Im_p[:, 1] >= 0)
+            & (Im_p[:, 1] < cfg.height)
+        )
+        refresh = valid & in_front & in_fov
+
+        homog = jnp.concatenate([Im_p, jnp.ones((Im_p.shape[0], 1), dtype=dt_)], axis=-1)
+        W_v = matvec_small(R_a, homog @ Kinv.T)
+        new_m = idp_angles_m(W_v)
+        new_rho = 1.0 / jnp.where(refresh, Ci_p[:, 2], 1.0)
 
     if cfg.triangulation == "gn":
         # ablation path: Gauss-Newton refinement of (theta, phi, rho) about

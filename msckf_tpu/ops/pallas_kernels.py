@@ -406,6 +406,139 @@ def verification_scores(R1, t1, kp1, kp2, camR, camt, K, Kinv, interpret=False):
 
 
 # --------------------------------------------------------------------------
+# Fused triage triangulation + inverse-depth refresh: the weighted
+# line-intersection normal equations, closed-form Tikhonov 3x3 solve, anchor
+# re-projection checks and bearing re-parameterization for every track in one
+# kernel (`MSCKF.py:480-491`, `geometry.py:274-303`).
+# --------------------------------------------------------------------------
+
+
+def _triage_kernel(
+    rcond: float,
+    width: float,
+    height: float,
+    base_ref,   # (3, F, M) line base planes
+    dir_ref,    # (3, F, M) line direction planes
+    w_ref,      # (F, M) confidence weights (zeroed where invalid)
+    Ra_ref,     # (9, F) anchor rotation channels (row-major)
+    ta_ref,     # (3, F) anchor center channels
+    K_ref,      # (3, 3)
+    Kinv_ref,   # (3, 3)
+    m_ref,      # out (3, F) refreshed bearing channels
+    rho_ref,    # out (1, F) refreshed inverse depth
+    ok_ref,     # out (1, F) int: anchor re-projection succeeded
+):
+    dt_ = base_ref.dtype
+    b = [base_ref[c] for c in range(3)]  # (F, M) planes
+    d = [dir_ref[c] for c in range(3)]
+    w = w_ref[:]
+    n = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    n = jnp.where(n < 1e-30, 1e-30, n)
+    dn = [d[i] / n for i in range(3)]
+
+    # X = sum w (I - d d^T), y = sum w (I - d d^T) b  (reduce over obs lanes)
+    def red(x):
+        return jnp.sum(x, axis=1)  # (F,)
+
+    X = {}
+    for i in range(3):
+        for j in range(i, 3):
+            delta = 1.0 if i == j else 0.0
+            X[(i, j)] = red(w * (delta - dn[i] * dn[j]))
+    db = dn[0] * b[0] + dn[1] * b[1] + dn[2] * b[2]
+    y = [red(w * (b[i] - dn[i] * db)) for i in range(3)]
+
+    # closed-form trace-normalized Tikhonov 3x3 inverse on (F,) channels
+    tr = X[(0, 0)] + X[(1, 1)] + X[(2, 2)]
+    scale = jnp.maximum(tr / 3.0, 1e-20)
+    eps = 3.0 * rcond
+    a_ = X[(0, 0)] / scale + eps
+    b_ = X[(0, 1)] / scale
+    c_ = X[(0, 2)] / scale
+    d_ = X[(1, 1)] / scale + eps
+    e_ = X[(1, 2)] / scale
+    f_ = X[(2, 2)] / scale + eps
+    co00 = d_ * f_ - e_ * e_
+    co01 = c_ * e_ - b_ * f_
+    co02 = b_ * e_ - c_ * d_
+    co11 = a_ * f_ - c_ * c_
+    co12 = c_ * b_ - a_ * e_
+    co22 = a_ * d_ - b_ * b_
+    det = a_ * co00 + b_ * co01 + c_ * co02
+    det = jnp.where(jnp.abs(det) < 1e-38, 1e-38, det)
+    inv_det = 1.0 / (det * scale)
+    Wp0 = (co00 * y[0] + co01 * y[1] + co02 * y[2]) * inv_det
+    Wp1 = (co01 * y[0] + co11 * y[1] + co12 * y[2]) * inv_det
+    Wp2 = (co02 * y[0] + co12 * y[1] + co22 * y[2]) * inv_det
+
+    # anchor camera frame: Ci = Ra^T (Wp - ta)  (`Camera.py:46-52`)
+    Ra = [Ra_ref[c] for c in range(9)]  # (F,) channels, row-major
+    ta = [ta_ref[c] for c in range(3)]
+    dx = Wp0 - ta[0]
+    dy = Wp1 - ta[1]
+    dz = Wp2 - ta[2]
+    Ci0 = Ra[0] * dx + Ra[3] * dy + Ra[6] * dz
+    Ci1 = Ra[1] * dx + Ra[4] * dy + Ra[7] * dz
+    Ci2 = Ra[2] * dx + Ra[5] * dy + Ra[8] * dz
+
+    # pinhole projection + FOV validity (`Camera.py:13-28`)
+    K = [[K_ref[i, j] for j in range(3)] for i in range(3)]
+    Kinv = [[Kinv_ref[i, j] for j in range(3)] for i in range(3)]
+    z_safe = jnp.where(jnp.abs(Ci2) < 1e-30, 1e-30, Ci2)
+    u = (K[0][0] * Ci0 + K[0][1] * Ci1 + K[0][2] * Ci2) / z_safe
+    v = (K[1][0] * Ci0 + K[1][1] * Ci1 + K[1][2] * Ci2) / z_safe
+    ok = (Ci2 > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+
+    # bearing refresh: W_v = Ra @ Kinv [u, v, 1]; m from (theta, phi)
+    # (`geometry.py:56-71`)
+    cx = Kinv[0][0] * u + Kinv[0][1] * v + Kinv[0][2]
+    cy = Kinv[1][0] * u + Kinv[1][1] * v + Kinv[1][2]
+    cz = Kinv[2][0] * u + Kinv[2][1] * v + Kinv[2][2]
+    Wv0 = Ra[0] * cx + Ra[1] * cy + Ra[2] * cz
+    Wv1 = Ra[3] * cx + Ra[4] * cy + Ra[5] * cz
+    Wv2 = Ra[6] * cx + Ra[7] * cy + Ra[8] * cz
+    theta = jnp.arctan2(Wv0, Wv2)
+    phi = jnp.arctan2(-Wv1, jnp.sqrt(Wv0 * Wv0 + Wv2 * Wv2))
+    m_ref[0] = jnp.cos(phi) * jnp.sin(theta)
+    m_ref[1] = -jnp.sin(phi)
+    m_ref[2] = jnp.cos(phi) * jnp.cos(theta)
+    rho_ref[0] = 1.0 / z_safe
+    ok_ref[0] = ok.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("rcond", "width", "height", "interpret"))
+def triage_refresh_fused(
+    line_base, line_dir, weights, anchor_R, anchor_t, K, Kinv,
+    rcond, width, height, interpret=False,
+):
+    """(new_m (F,3), new_rho (F,), proj_ok (F,)) — triangulate every track by
+    weighted line intersection and re-parameterize its inverse-depth bearing
+    through the anchor camera."""
+    F, M = weights.shape
+    dt_ = weights.dtype
+    kernel = functools.partial(_triage_kernel, rcond, float(width), float(height))
+    m, rho, ok = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, F), dt_),
+            jax.ShapeDtypeStruct((1, F), dt_),
+            jax.ShapeDtypeStruct((1, F), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        interpret=interpret,
+    )(
+        jnp.transpose(line_base, (2, 0, 1)),
+        jnp.transpose(line_dir, (2, 0, 1)),
+        weights,
+        anchor_R.reshape(F, 9).T,
+        anchor_t.T,
+        K.astype(dt_), Kinv.astype(dt_),
+    )
+    return m.T, rho[0], ok[0] > 0
+
+
+# --------------------------------------------------------------------------
 # Fused IMU-block propagation: B sequential OC-EKF ticks in one kernel.
 # Replaces the inner lax.scan of propagate_block (the per-tick 15x15 math ran
 # as ~10 HLO thunks per tick). All state lives in VMEM for the whole block;
