@@ -506,7 +506,6 @@ def _triage_kernel(
     ok_ref[0] = ok.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("rcond", "width", "height", "interpret"))
 def triage_refresh_fused(
     line_base, line_dir, weights, anchor_R, anchor_t, K, Kinv,
     rcond, width, height, interpret=False,
