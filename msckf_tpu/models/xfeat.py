@@ -12,9 +12,14 @@ that CNN (architecture from the XFeat paper / upstream model definition):
   over 8x8-unfolded input pixels; a sigmoid reliability heatmap head.
 
 ``detect_and_compute`` reproduces the upstream inference path with
-*fixed-shape* TPU-friendly ops: softmax + pixel-shuffle keypoint heatmap,
-5x5 max-pool NMS as a mask, fixed top-k selection, bilinear descriptor
-sampling, L2 normalization.
+*fixed-shape* TPU-friendly ops: bilinear resize to a /32 grid, softmax +
+pixel-shuffle keypoint heatmap, 5x5 max-pool NMS as a mask, fixed top-k
+selection, ``InterpolateSparse2d``-convention reliability/descriptor
+sampling (grid normalized by (W-1, H-1) yet unnormalized with
+align_corners=False and zeros padding — the upstream mixed-convention quirk,
+replicated exactly; descriptors sampled bicubic like upstream), L2
+normalization. Numerically validated against a torch implementation of the
+upstream spec in ``tests/test_xfeat_torch_parity.py``.
 
 Pretrained weights convert from the upstream ``xfeat.pt`` state_dict via
 ``convert_torch_state_dict`` (this environment has no network egress, so the
@@ -69,7 +74,10 @@ class BasicLayer(nn.Module):
 
 
 def _bilinear_resize(x, h, w):
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="bilinear")
+    # antialias=False: torch F.interpolate(mode='bilinear') semantics
+    return jax.image.resize(
+        x, (x.shape[0], h, w, x.shape[-1]), method="bilinear", antialias=False
+    )
 
 
 class XFeatModel(nn.Module):
@@ -141,23 +149,103 @@ def keypoint_heatmap(kp_logits: jnp.ndarray, temp: float = 1.0) -> jnp.ndarray:
     return hm
 
 
-def _bilinear_sample(grid: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Sample (H, W, C) at continuous pixel coords xy (N, 2) (x, y order),
-    align_corners=False torch grid_sample semantics on the pixel centers."""
-    H, W = grid.shape[0], grid.shape[1]
-    x = jnp.clip(xy[:, 0], 0.0, W - 1.0)
-    y = jnp.clip(xy[:, 1], 0.0, H - 1.0)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    wx = (x - x0)[:, None]
-    wy = (y - y0)[:, None]
-    v00 = grid[y0, x0]
-    v01 = grid[y0, x1]
-    v10 = grid[y1, x0]
-    v11 = grid[y1, x1]
-    return (1 - wy) * ((1 - wx) * v00 + wx * v01) + wy * ((1 - wx) * v10 + wx * v11)
+def _sparse_coords(pos: jnp.ndarray, H_full: int, W_full: int, h: int, w: int):
+    """The upstream ``InterpolateSparse2d`` coordinate transform: positions
+    normalized by (W_full-1, H_full-1) (align_corners=True convention) but
+    unnormalized onto the (h, w) sample grid with align_corners=False —
+    a mixed convention that shifts samples by ~half a cell. Part of the
+    upstream spec; replicated exactly."""
+    gx = 2.0 * pos[:, 0] / (W_full - 1.0) - 1.0
+    gy = 2.0 * pos[:, 1] / (H_full - 1.0) - 1.0
+    ix = ((gx + 1.0) * w - 1.0) / 2.0
+    iy = ((gy + 1.0) * h - 1.0) / 2.0
+    return ix, iy
+
+
+def _gather_zeros(grid: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """grid[(iy, ix)] with zeros padding (torch grid_sample padding_mode
+    default). grid (H, W, C); iy/ix int (N,) -> (N, C)."""
+    h, w = grid.shape[0], grid.shape[1]
+    ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    v = grid[jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1)]
+    return jnp.where(ok[:, None], v, 0.0)
+
+
+def _cubic_weights(t: jnp.ndarray):
+    """torch grid_sample bicubic coefficients (cubic convolution, A=-0.75)
+    for the 4-tap neighborhood at fractional offset t in [0, 1)."""
+    A = -0.75
+
+    def cc1(x):  # |x| <= 1
+        return ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0
+
+    def cc2(x):  # 1 < |x| < 2
+        return ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A
+
+    return cc2(t + 1.0), cc1(t), cc1(1.0 - t), cc2(2.0 - t)
+
+
+def interpolate_sparse(
+    grid: jnp.ndarray,  # (h, w, C) feature map
+    pos: jnp.ndarray,  # (N, 2) xy positions in the (H_full, W_full) frame
+    H_full: int,
+    W_full: int,
+    mode: str = "bilinear",
+) -> jnp.ndarray:
+    """Upstream ``InterpolateSparse2d``: grid_sample(mode, align_corners=False,
+    padding zeros) at positions normalized by the *full-resolution* extent."""
+    h, w = grid.shape[0], grid.shape[1]
+    ix, iy = _sparse_coords(pos, H_full, W_full, h, w)
+    if mode == "nearest":
+        # torch rounds with nearbyint (half-to-even), as does jnp.round
+        return _gather_zeros(grid, jnp.round(iy).astype(jnp.int32),
+                             jnp.round(ix).astype(jnp.int32))
+    x0 = jnp.floor(ix).astype(jnp.int32)
+    y0 = jnp.floor(iy).astype(jnp.int32)
+    tx = (ix - x0)[:, None]
+    ty = (iy - y0)[:, None]
+    if mode == "bilinear":
+        v00 = _gather_zeros(grid, y0, x0)
+        v01 = _gather_zeros(grid, y0, x0 + 1)
+        v10 = _gather_zeros(grid, y0 + 1, x0)
+        v11 = _gather_zeros(grid, y0 + 1, x0 + 1)
+        return (1 - ty) * ((1 - tx) * v00 + tx * v01) + ty * ((1 - tx) * v10 + tx * v11)
+    assert mode == "bicubic"
+    wx = _cubic_weights(tx)
+    wy = _cubic_weights(ty)
+    out = jnp.zeros((pos.shape[0], grid.shape[-1]), grid.dtype)
+    for dy in range(4):
+        row = jnp.zeros_like(out)
+        for dx in range(4):
+            row = row + wx[dx] * _gather_zeros(grid, y0 + dy - 1, x0 + dx - 1)
+        out = out + wy[dy] * row
+    return out
+
+
+def _reliability_fullres(rel: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Bilinear ``interpolate_sparse`` of the 1/8-resolution reliability map
+    evaluated at every full-resolution pixel, as a separable 1-D pass per
+    axis (the coordinate transform is affine per axis, and bilinear weights
+    with zeros padding factorize)."""
+    h, w = rel.shape
+
+    def axis_taps(n_out, n_in, full):
+        i = (( (2.0 * jnp.arange(n_out) / (full - 1.0) - 1.0) + 1.0) * n_in - 1.0) / 2.0
+        i0 = jnp.floor(i).astype(jnp.int32)
+        t = i - i0
+        ok0 = (i0 >= 0) & (i0 < n_in)
+        ok1 = (i0 + 1 >= 0) & (i0 + 1 < n_in)
+        return jnp.clip(i0, 0, n_in - 1), jnp.clip(i0 + 1, 0, n_in - 1), t, ok0, ok1
+
+    x0, x1, tx, okx0, okx1 = axis_taps(W, w, W)
+    y0, y1, ty, oky0, oky1 = axis_taps(H, h, H)
+    cols = jnp.where(okx0, 1.0 - tx, 0.0)[None, :] * rel[:, x0] + jnp.where(
+        okx1, tx, 0.0
+    )[None, :] * rel[:, x1]  # (h, W)
+    return (
+        jnp.where(oky0, 1.0 - ty, 0.0)[:, None] * cols[y0]
+        + jnp.where(oky1, ty, 0.0)[:, None] * cols[y1]
+    )  # (H, W)
 
 
 def detect_and_compute(
@@ -169,17 +257,21 @@ def detect_and_compute(
 ):
     """Upstream ``XFeat.detectAndCompute`` as fixed-shape XLA ops.
 
-    Returns (keypoints (top_k, 2) xy pixels, descriptors (top_k, 64) L2
-    normalized, scores (top_k,), valid (top_k,) bool). Invalid slots carry
-    score -1, matching upstream's sentinel.
+    Returns (keypoints (top_k, 2) xy pixels in the input frame, descriptors
+    (top_k, 64) L2 normalized, scores (top_k,), valid (top_k,) bool). Invalid
+    slots carry score -1, matching upstream's sentinel. Validated against a
+    torch implementation of the upstream spec (tests/test_xfeat_torch_parity).
     """
     H0, W0 = image.shape
-    # pad to multiples of 32 (upstream crops; we pad with edge values and
-    # mask keypoints to the valid region)
-    H = -(-H0 // 32) * 32
-    W = -(-W0 // 32) * 32
-    img = jnp.pad(image, ((0, H - H0), (0, W - W0)), mode="edge")
-    x = img[None, :, :, None].astype(jnp.float32)
+    if H0 < 32 or W0 < 32:
+        raise ValueError(f"image must be at least 32x32, got {H0}x{W0}")
+    # upstream preprocess: bilinear-resize (shrink) to multiples of 32 and
+    # scale keypoints back at the end
+    H = (H0 // 32) * 32
+    W = (W0 // 32) * 32
+    x = image[None, :, :, None].astype(jnp.float32)
+    if (H, W) != (H0, W0):
+        x = _bilinear_resize(x, H, W)
 
     feats, kp_logits, reliability = XFeatModel().apply(params, x)
     feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-12)
@@ -191,24 +283,33 @@ def detect_and_compute(
         (nms_kernel, nms_kernel), (1, 1), "SAME",
     )
     is_peak = (hm == local_max) & (hm > nms_threshold)
-    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
-    in_bounds = (xx < W0) & (yy < H0)
+    # upstream pads its peak list with (0, 0) rows and forces their score to
+    # -1, which also kills a *genuine* peak at pixel (0, 0) — replicated.
+    # Peaks on the last row/column are also dead upstream: the nearest-sample
+    # index W-0.5 rounds (half-to-even, W even) to W, out of bounds, and
+    # zeros padding makes their score 0, failing the `scores > 0` validity.
+    is_peak = is_peak.at[0, 0].set(False)
+    is_peak = is_peak.at[H - 1, :].set(False).at[:, W - 1].set(False)
 
-    # score at peaks: heatmap * bilinear reliability (upstream scores product)
-    rel_up = _bilinear_resize(reliability, H, W)[0, :, :, 0]
-    score_map = jnp.where(is_peak & in_bounds, hm * rel_up, -1.0)
+    # score = heatmap at the peak (upstream nearest-samples the full-res
+    # heatmap at integer peaks == direct indexing) * sparse-bilinear
+    # reliability from the 1/8 map
+    rel_up = _reliability_fullres(reliability[0, :, :, 0], H, W)
+    score_map = jnp.where(is_peak, hm * rel_up, -1.0)
 
     flat = score_map.reshape(-1)
     top_scores, top_idx = jax.lax.top_k(flat, top_k)
     ky = (top_idx // W).astype(jnp.float32)
     kx = (top_idx % W).astype(jnp.float32)
-    kpts = jnp.stack([kx, ky], axis=-1)  # (top_k, 2) xy
+    kpts = jnp.stack([kx, ky], axis=-1)  # (top_k, 2) xy on the /32 grid
 
-    # bilinear descriptor sampling at 1/8 resolution
-    desc = _bilinear_sample(feats[0], kpts / 8.0)
+    # bicubic descriptor sampling (upstream interpolator) on the 1/8 map
+    desc = interpolate_sparse(feats[0], kpts, H, W, mode="bicubic")
     desc = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True).clip(1e-12)
 
     valid = top_scores > 0
+    # scale keypoints back to the input frame (upstream rw1/rh1)
+    kpts = kpts * jnp.asarray([W0 / W, H0 / H], dtype=kpts.dtype)
     return kpts, desc, top_scores, valid
 
 
