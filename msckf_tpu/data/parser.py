@@ -77,6 +77,23 @@ class Parser:
         return df[["x", "y", "z"]].to_numpy(dtype=float)
 
 
+def read_camera_info(base_path: str, source: str) -> dict | None:
+    """Per-dataset camera intrinsics (`/root/reference/main.py:71-79`):
+    ``{base}/{source}/camera_info.csv`` with columns fx, fy, px, py, w, h.
+    Returns config overrides (K, width, height) or None if the file is
+    absent (the reference would crash; the caller decides how loud to be)."""
+    path = f"{base_path}/{source}/camera_info.csv"
+    if not os.path.exists(path):
+        return None
+    row = pd.read_csv(path).iloc[0]
+    K = (
+        (float(row["fx"]), 0.0, float(row["px"])),
+        (0.0, float(row["fy"]), float(row["py"])),
+        (0.0, 0.0, 1.0),
+    )
+    return dict(K=K, width=int(row["w"]), height=int(row["h"]))
+
+
 def gt_trajectory_arrays(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(timestamps, R (T,3,3), t (T,3)) from a transforms_gt DataFrame."""
     ts = df["timestamp"].to_numpy(dtype=float)

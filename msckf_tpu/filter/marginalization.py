@@ -90,27 +90,54 @@ def camera_observation_counts(cfg: MSCKFConfig, state: FilterState) -> jnp.ndarr
     ].add(1, mode="drop")
 
 
+def camera_first_encounter_rank(cfg: MSCKFConfig, state: FilterState) -> jnp.ndarray:
+    """Rank (0..N-1) of each camera slot by the order the reference's
+    ``prune_poorest_camera_states`` would first encounter it: iterate
+    features in dict-insertion order (== ``track_id`` creation order, which
+    survives slot recycling), and each feature's observations chronologically
+    (`MSCKF.py:713-716` builds the counts dict in exactly this order; the
+    stable ``sorted`` then preserves it among count ties)."""
+    tr = state.tracks
+    F, M, N = cfg.f_max, cfg.m_max, cfg.n_cam_slots
+    slots, found = resolve_cam_slots(tr.obs_cam_id, state.cams.cam_id)
+    obs_live = tr.valid[:, None] & tr.obs_valid & found
+    BIG = jnp.int32(1 << 30)
+    seq = jnp.where(tr.valid, tr.track_id, BIG)
+    trank = jnp.argsort(jnp.argsort(seq)).astype(jnp.int32)  # (F,) 0..F-1
+    enc = trank[:, None] * M + jnp.arange(M, dtype=jnp.int32)[None, :]  # (F, M)
+    first = jnp.full(N, jnp.int32(F * M), jnp.int32)
+    first = first.at[jnp.where(obs_live, slots, N)].min(enc, mode="drop")
+    return jnp.argsort(jnp.argsort(first)).astype(jnp.int32)  # (N,) 0..N-1
+
+
+def select_prune_victims(cfg: MSCKFConfig, state: FilterState) -> jnp.ndarray:
+    """Slot mask of the (up to) two observed cameras with the fewest
+    observations, count ties broken by first-encounter order
+    (`MSCKF.py:713-723`)."""
+    N = cfg.n_cam_slots
+    counts = camera_observation_counts(cfg, state)
+    eligible = state.cams.valid & (counts > 0)
+    BIG = jnp.int32(1 << 24)
+    enc_rank = camera_first_encounter_rank(cfg, state)
+    key = jnp.where(eligible, counts * N + enc_rank, BIG)
+    order = jnp.argsort(key)
+    n_victims = jnp.minimum(jnp.sum(eligible), 2)
+    return jnp.zeros(N, dtype=bool).at[order[:2]].set(
+        jnp.arange(2) < n_victims, mode="drop"
+    )
+
+
 def prune_poorest_camera_states(cfg: MSCKFConfig, state: FilterState) -> FilterState:
     """`MSCKF.py:710-737`: pick the (up to) two observed cameras with the
     fewest feature observations, run a final update over the features that
     observe them, then marginalize.
 
-    Tie-break divergence: the reference's stable sort keeps dict insertion
-    order (the order cameras are first encountered while iterating features);
-    we tie-break by slot (= window age) order. Counts rarely tie among the
-    poorest cameras, and the effect is bounded by which near-empty camera
-    leaves one frame earlier.
+    Tie-break: the reference's stable sort keeps dict insertion order — the
+    order cameras are first encountered while iterating features — which
+    ``camera_first_encounter_rank`` reproduces exactly (validated against
+    forced-tie fixtures in tests/test_prune_tiebreak.py).
     """
-    N = cfg.n_cam_slots
-    counts = camera_observation_counts(cfg, state)
-    eligible = state.cams.valid & (counts > 0)
-    BIG = jnp.int32(1 << 24)
-    key = jnp.where(eligible, counts * N + jnp.arange(N, dtype=jnp.int32), BIG)
-    order = jnp.argsort(key)
-    n_victims = jnp.minimum(jnp.sum(eligible), 2)
-    victim = jnp.zeros(N, dtype=bool).at[order[:2]].set(
-        jnp.arange(2) < n_victims, mode="drop"
-    )
+    victim = select_prune_victims(cfg, state)
 
     # features observing a victim camera (`MSCKF.py:726-731`)
     slots, found = resolve_cam_slots(state.tracks.obs_cam_id, state.cams.cam_id)

@@ -25,7 +25,8 @@ from msckf_tpu.utils.metrics import compute_metrics, results_report
 
 
 def _load_sequence(args):
-    """Returns (imu_ts, gyro, acc, cam_ticks, kps, descs, scores, gt_R, gt_t)."""
+    """Returns (imu_ts, gyro, acc, cam_ticks, kps, descs, scores, gt_R, gt_t,
+    image_paths) — image_paths is None for in-memory/synthetic sources."""
     if args.source == "synthetic" and not os.path.isdir(
         f"{args.data_root}/synthetic/{args.sequence}"
     ):
@@ -34,7 +35,7 @@ def _load_sequence(args):
         return (
             seq.timestamps, seq.imu_gyro, seq.imu_acc, seq.cam_frame_ticks,
             seq.cam_keypoints, seq.cam_descriptors, seq.cam_scores,
-            seq.poses_R, seq.poses_t,
+            seq.poses_R, seq.poses_t, None,
         )
 
     if args.source in ("tartanair", "peringlab"):
@@ -62,6 +63,7 @@ def _load_sequence(args):
     cam_ticks = np.concatenate([[0], matched])  # frame 0 placeholder (skipped)
 
     kps, descs, scores = [], [], []
+    image_paths = None
     if args.source == "synthetic":
         for _, row in cams.iterrows():
             k, d, s = p.extract_synthetic_camera_measurements(row["image_path"])
@@ -71,10 +73,121 @@ def _load_sequence(args):
     else:
         from msckf_tpu.models.frontend import extract_sequence_features
 
-        paths = cams["image_path"].tolist()
-        kps, descs, scores = extract_sequence_features(paths, top_k=300)
+        image_paths = cams["image_path"].tolist()
+        kps, descs, scores = extract_sequence_features(image_paths, top_k=300)
     n = len(cam_ticks)
-    return imu_ts, gyro, acc, cam_ticks, kps[:n], descs[:n], scores[:n], gt_R, gt_t
+    return (imu_ts, gyro, acc, cam_ticks, kps[:n], descs[:n], scores[:n],
+            gt_R, gt_t, image_paths[:n] if image_paths else None)
+
+
+def _dataset_config(args, cfg, kps, descs):
+    """Dataset-derived configuration.
+
+    - Camera intrinsics from ``{data_root}/{source}/camera_info.csv``
+      (`/root/reference/main.py:71-79` reads fx/fy/px/py/w/h per dataset;
+      round 1 silently filtered every sequence with the default K).
+    - Buffer capacities auto-sized to the sequence (``suggest_capacities``)
+      so padded-shape cost tracks the dataset instead of worst-case
+      defaults; the post-run overflow warning keeps this honest.
+    - Descriptor width from the data (10-d synthetic, 64-d XFeat), padded to
+      a multiple of 8 — zero padding leaves cosine similarity unchanged.
+    """
+    import dataclasses
+
+    from msckf_tpu.data.stream import suggest_capacities
+
+    overrides = {}
+    info = parsing.read_camera_info(args.data_root, args.source)
+    if info is not None:
+        overrides.update(info)
+        print(
+            f"camera_info.csv: K = [fx {info['K'][0][0]}, fy {info['K'][1][1]}, "
+            f"px {info['K'][0][2]}, py {info['K'][1][2]}], "
+            f"{info['width']}x{info['height']}"
+        )
+    elif args.source != "synthetic":
+        print(
+            f"WARNING: {args.data_root}/{args.source}/camera_info.csv not found; "
+            f"using default intrinsics (fx {cfg.K[0][0]}) — metrics will be "
+            "wrong if the dataset camera differs"
+        )
+    caps = suggest_capacities(kps, max_camera_states=cfg.max_camera_states)
+    dd = max((int(np.asarray(d).shape[1]) for d in descs if len(d)), default=cfg.desc_dim)
+    overrides.update(
+        f_max=caps["f_max"],
+        k_max=caps["k_max"],
+        u_max=max(caps["u_max"], 48),
+        desc_dim=-(-dd // 8) * 8,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+def _check_overflow(cfg, final) -> dict:
+    """Capacity-overflow diagnostics: loud warning when any fixed buffer was
+    exceeded (events the dynamically-sized reference cannot have; silently
+    under-reporting them would corrupt accuracy comparisons)."""
+    diag = {
+        k: int(np.asarray(getattr(final.diag, k)))
+        for k in (
+            "n_homography_rejected", "n_epipolar_rejected", "n_gating_rejected",
+            "n_track_overflow", "n_update_overflow",
+        )
+    }
+    if diag["n_track_overflow"] or diag["n_update_overflow"]:
+        print(
+            "WARNING: capacity overflow — "
+            f"{diag['n_track_overflow']} track spawns dropped (f_max={cfg.f_max}), "
+            f"{diag['n_update_overflow']} update features skipped (u_max={cfg.u_max}). "
+            "Re-run with larger capacities; accuracy is degraded."
+        )
+    return diag
+
+
+def _save_debug_images(out_dir, cfg, kps, scores, descs, image_paths, max_frames=None):
+    """--log_images: per-frame keypoint + match overlay images, the file
+    analog of the reference's Rerun debug logging (`main.py:44-51`,
+    `MSCKF.py:446-448`). Draws extracted keypoints (radius ~ score) and
+    lines to the previous frame's mutually-matched keypoints."""
+    try:
+        import cv2
+    except ImportError:
+        print("--log_images: cv2 unavailable, skipping")
+        return
+    from msckf_tpu.models.frontend import FeatureExtractor
+
+    os.makedirs(out_dir, exist_ok=True)
+    fx = FeatureExtractor.__new__(FeatureExtractor)  # matcher only
+    n = len(kps) if max_frames is None else min(len(kps), max_frames)
+    for j in range(n):
+        if image_paths is not None and j < len(image_paths):
+            img = cv2.imread(image_paths[j])
+            if img is None:
+                continue
+        else:
+            # synthetic source has no raster; render on the camera canvas
+            # like the reference's grid image (`main.py:288-293`)
+            img = np.full((cfg.height, cfg.width, 3), 32, np.uint8)
+        kp = np.asarray(kps[j])
+        if len(kp) == 0:
+            continue
+        s = np.asarray(scores[j])
+        smax = s.max() if len(s) and s.max() > 0 else 1.0
+        for (x, y), sc in zip(kp, s):
+            if 0 <= x < img.shape[1] and 0 <= y < img.shape[0]:
+                cv2.circle(img, (int(x), int(y)), 2 + int(3 * sc / smax),
+                           (0, 255, 0), 1)
+        if j > 0 and len(kps[j - 1]):
+            i1, i2 = FeatureExtractor.match(
+                fx, np.asarray(descs[j - 1]), np.asarray(descs[j]),
+                min_cossim=cfg.min_cosine_similarity,
+            )
+            prev = np.asarray(kps[j - 1])
+            for a, b in zip(i1, i2):
+                p0 = (int(prev[a][0]), int(prev[a][1]))
+                p1 = (int(kp[b][0]), int(kp[b][1]))
+                cv2.line(img, p0, p1, (255, 128, 0), 1)
+        cv2.imwrite(f"{out_dir}/{j:05d}.png", img)
+    print(f"debug images written to {out_dir}")
 
 
 def main(argv=None):
@@ -99,6 +212,9 @@ def main(argv=None):
 
     import jax
 
+    if args.dtype == "float64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
     a_nd, g_nd, a_rw, g_rw = NOISE_PRESETS[args.noise_level]
     cfg = reference_experiment_config(
         dtype=args.dtype,
@@ -112,7 +228,9 @@ def main(argv=None):
     if args.batch > 0:
         return _run_batched(args, cfg)
 
-    (imu_ts, gyro, acc, cam_ticks, kps, descs, scores, gt_R, gt_t) = _load_sequence(args)
+    (imu_ts, gyro, acc, cam_ticks, kps, descs, scores, gt_R, gt_t,
+     image_paths) = _load_sequence(args)
+    cfg = _dataset_config(args, cfg, kps, descs)
     stream = build_stream(
         cfg, imu_ts, gyro, acc, cam_ticks, kps, descs, scores, max_ticks=args.max_frames
     )
@@ -169,14 +287,33 @@ def main(argv=None):
         f"in-bounds {cons['nees_within_bounds']:.3f})\n"
     )
     print(report)
+    diag = _check_overflow(cfg, final)
 
+    out_dir = f"{args.data_root}/{args.source}/{args.sequence}/{args.noise_level}_noise"
+    if args.log_images:
+        _save_debug_images(
+            f"{out_dir}/debug_images", cfg, kps, scores, descs, image_paths
+        )
     if args.save_results:
-        out_dir = f"{args.data_root}/{args.source}/{args.sequence}/{args.noise_level}_noise"
         os.makedirs(out_dir, exist_ok=True)
         with open(f"{out_dir}/results.txt", "w") as f:
             f.write(report)
         _save_plots(m, out_dir)
+        # .rrd recording like the reference's rr.save (`main.py:89-96`),
+        # when rerun-sdk is importable (optional extra)
+        from msckf_tpu.utils import viz
+
+        if viz.HAVE_RERUN:
+            viz.stream_to_rerun(
+                gt_t, est_R, est_t, m,
+                n_tracks=flat("n_tracks")[valid], n_cams=flat("n_cams")[valid],
+                save_path=f"{out_dir}/recording.rrd",
+            )
+            print(f"rerun recording written to {out_dir}/recording.rrd")
         print(f"results written to {out_dir}")
+    # expose the resolved config + diagnostics to callers/tests
+    m.cfg = cfg
+    m.diag = diag
     return m
 
 

@@ -391,7 +391,9 @@ class OracleMSCKF:
         for f in self.feats.values():
             for cid in f["cam_ids"]:
                 counts[cid] = counts.get(cid, 0) + 1
-        victims = [cid for cid, _ in sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))[:2]]
+        # stable sort by count only: ties keep dict-insertion (first-encounter)
+        # order, exactly like the reference (`MSCKF.py:718`)
+        victims = [cid for cid, _ in sorted(counts.items(), key=lambda kv: kv[1])[:2]]
         subset = [fid for fid, f in self.feats.items() if any(c in f["cam_ids"] for c in victims)]
         valid, _ = self.get_valid_features(subset)
         if valid:

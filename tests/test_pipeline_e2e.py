@@ -44,8 +44,11 @@ def test_photorealistic_pipeline_with_xfeat(tmp_path):
     # camera_info.csv like the reference layout (`main.py:71-78`)
     import pandas as pd
 
+    # deliberately NON-default intrinsics: the test asserts they reach the
+    # filter config (round-1 VERDICT gap: camera_info.csv was parsed by the
+    # reference but ignored by the rebuilt runner)
     pd.DataFrame(
-        [{"fx": 180.0, "fy": 180.0, "px": 320.0, "py": 240.0, "w": 640, "h": 480,
+        [{"fx": 200.0, "fy": 190.0, "px": 318.0, "py": 242.0, "w": 640, "h": 480,
           "R00": 0, "R01": 0, "R02": 1, "R10": -1, "R11": 0, "R12": 0,
           "R20": 0, "R21": -1, "R22": 0}]
     ).to_csv(root / "camera_info.csv", index=False)
@@ -72,6 +75,16 @@ def test_photorealistic_pipeline_with_xfeat(tmp_path):
             "--source", "tartanair", "--sequence", "P001",
             "--max_frames", "60", "--noise_level", "low",
             "--dtype", "float64", "--data_root", str(tmp_path),
+            "--log_images",
         ]
     )
     assert np.isfinite(m.mean_rte)
+    # camera_info.csv intrinsics reached the filter config
+    assert m.cfg.K[0][0] == 200.0 and m.cfg.K[1][1] == 190.0
+    assert m.cfg.K[0][2] == 318.0 and m.cfg.K[1][2] == 242.0
+    # XFeat descriptors sized the buffers (64-d, not the synthetic 10-d)
+    assert m.cfg.desc_dim == 64
+    assert set(m.diag) >= {"n_track_overflow", "n_update_overflow"}
+    # --log_images produced per-frame overlays
+    dbg = root / "P001" / "low_noise" / "debug_images"
+    assert dbg.is_dir() and len(list(dbg.glob("*.png"))) > 3
