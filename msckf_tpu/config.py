@@ -90,9 +90,7 @@ class MSCKFConfig:
     gn_iters: int = 5
     # use Pallas kernels for TPU hot spots (falls back to XLA off-TPU)
     use_pallas: bool = True
-    # triage kernel is off by default: staging it under the nested cond tree
-    # hits a JAX tracing bug (see filter/update.py note)
-    use_pallas_triage: bool = False
+    use_pallas_triage: bool = True
 
     # --- numerics ---
     dtype: str = "float32"

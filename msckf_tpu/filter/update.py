@@ -99,9 +99,6 @@ def triage_features(cfg: MSCKFConfig, state: FilterState, subset: jnp.ndarray) -
     K = jnp.asarray(cfg.K_np, dtype=dt_)
     Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
 
-    # NOTE: staging triage_refresh_fused under the filter's nested lax.cond
-    # tree currently trips a JAX tracing KeyError (closed_call jaxpr caching);
-    # the kernel is tested and kept for round 2 (docs/roadmap.md), gated off.
     if cfg.use_pallas_triage and jax.default_backend() == "tpu" and cfg.triangulation != "gn":
         from msckf_tpu.ops.pallas_kernels import triage_refresh_fused
         from msckf_tpu.ops.smallmat import default_rcond as _rcond

@@ -497,11 +497,14 @@ def _triage_kernel(
     Wv0 = Ra[0] * cx + Ra[1] * cy + Ra[2] * cz
     Wv1 = Ra[3] * cx + Ra[4] * cy + Ra[5] * cz
     Wv2 = Ra[6] * cx + Ra[7] * cy + Ra[8] * cz
-    theta = jnp.arctan2(Wv0, Wv2)
-    phi = jnp.arctan2(-Wv1, jnp.sqrt(Wv0 * Wv0 + Wv2 * Wv2))
-    m_ref[0] = jnp.cos(phi) * jnp.sin(theta)
-    m_ref[1] = -jnp.sin(phi)
-    m_ref[2] = jnp.cos(phi) * jnp.cos(theta)
+    # the reference's angle roundtrip theta=atan2(x,z), phi=atan2(-y,rxz),
+    # m=[cos(phi)sin(theta), -sin(phi), cos(phi)cos(theta)] is algebraically
+    # m = Wv / ||Wv|| — computed directly (Mosaic has no atan2 lowering)
+    nrm = jnp.sqrt(Wv0 * Wv0 + Wv1 * Wv1 + Wv2 * Wv2)
+    nrm = jnp.where(nrm < 1e-30, 1e-30, nrm)
+    m_ref[0] = Wv0 / nrm
+    m_ref[1] = Wv1 / nrm
+    m_ref[2] = Wv2 / nrm
     rho_ref[0] = 1.0 / z_safe
     ok_ref[0] = ok.astype(jnp.int32)
 
