@@ -313,18 +313,30 @@ def apply_correction(cfg: MSCKFConfig, state: FilterState, A: jnp.ndarray, c: jn
     correction with SVD re-orthonormalization (`MSCKF.py:604-661`)."""
     dt_ = cfg.jdtype
     D, N = cfg.err_dim, cfg.n_cam_slots
-    P = state.P
-    sigma2 = jnp.asarray(cfg.sigma_image**2, dtype=dt_)
 
-    B = sigma2 * jnp.eye(D, dtype=dt_) + A @ P
+    # precision island (see MSCKFConfig.correction_dtype): the solve/Joseph
+    # chain carries the squared Jacobian conditioning and is the one place
+    # f32 round-off destabilizes the filter on long sequences
+    use64 = (
+        cfg.correction_dtype == "float64"
+        and jax.config.jax_enable_x64
+        and dt_ != jnp.dtype("float64")
+    )
+    ct = jnp.dtype("float64") if use64 else dt_
+    P = state.P.astype(ct)
+    A_ = A.astype(ct)
+    c_ = c.astype(ct)
+    sigma2 = jnp.asarray(cfg.sigma_image**2, dtype=ct)
+
+    B = sigma2 * jnp.eye(D, dtype=ct) + A_ @ P
     # L = P B^{-1}  (L^T = B^{-T} P since P is symmetric)
     L = jnp.linalg.solve(B.T, P).T
-    delta = L @ c
+    delta = (L @ c_).astype(dt_)
 
-    ImLA = jnp.eye(D, dtype=dt_) - L @ A
-    LA_L = L @ A @ L.T
+    ImLA = jnp.eye(D, dtype=ct) - L @ A_
+    LA_L = L @ A_ @ L.T
     P_new = ImLA @ P @ ImLA.T + sigma2 * LA_L
-    P_new = 0.5 * (P_new + P_new.T)
+    P_new = (0.5 * (P_new + P_new.T)).astype(dt_)
 
     # --- IMU correction (`MSCKF.py:616-640`), ordering [th, bg, v, ba, p] ---
     imu = state.imu

@@ -42,13 +42,21 @@ import numpy as np
 
 
 class BasicLayer(nn.Module):
-    """Conv2d(bias=False) + BatchNorm(affine=False, eval) + ReLU."""
+    """Conv2d(bias=False) + BatchNorm(affine=False) + ReLU.
+
+    ``train=False`` (inference, the default) normalizes by the stored running
+    stats like upstream eval mode. ``train=True`` normalizes by the batch
+    statistics and EMA-updates the running stats (torch BatchNorm2d momentum
+    0.1) — used by the self-supervised trainer (models/train_xfeat.py); pass
+    ``mutable=["batch_stats"]`` to apply.
+    """
 
     out_ch: int
     kernel: int = 3
     stride: int = 1
     padding: int = 1
     dilation: int = 1
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):  # x: (B, H, W, C)
@@ -61,16 +69,18 @@ class BasicLayer(nn.Module):
             use_bias=False,
             name="conv",
         )(x)
-        mean = self.param_or_zero("bn_mean", x.shape[-1])
-        var = self.param_or_one("bn_var", x.shape[-1])
-        x = (x - mean) / jnp.sqrt(var + 1e-5)
+        n = x.shape[-1]
+        mean_v = self.variable("batch_stats", "bn_mean", lambda: jnp.zeros((n,)))
+        var_v = self.variable("batch_stats", "bn_var", lambda: jnp.ones((n,)))
+        if self.train and not self.is_initializing():
+            m = jnp.mean(x, axis=(0, 1, 2))
+            v = jnp.var(x, axis=(0, 1, 2))
+            mean_v.value = 0.9 * mean_v.value + 0.1 * m
+            var_v.value = 0.9 * var_v.value + 0.1 * v
+            x = (x - m) / jnp.sqrt(v + 1e-5)
+        else:
+            x = (x - mean_v.value) / jnp.sqrt(var_v.value + 1e-5)
         return nn.relu(x)
-
-    def param_or_zero(self, name, n):
-        return self.variable("batch_stats", name, lambda: jnp.zeros((n,))).value
-
-    def param_or_one(self, name, n):
-        return self.variable("batch_stats", name, lambda: jnp.ones((n,))).value
 
 
 def _bilinear_resize(x, h, w):
@@ -83,6 +93,11 @@ def _bilinear_resize(x, h, w):
 class XFeatModel(nn.Module):
     """Returns (feats 1/8-res 64ch, keypoint logits 65ch, reliability 1ch)."""
 
+    train: bool = False
+
+    def _bl(self, *args, **kwargs):
+        return BasicLayer(*args, train=self.train, **kwargs)
+
     @nn.compact
     def __call__(self, x):  # (B, H, W, 1), H, W divisible by 32
         # InstanceNorm2d(1): per-image standardization
@@ -94,36 +109,36 @@ class XFeatModel(nn.Module):
         skip = nn.avg_pool(xn, (4, 4), strides=(4, 4))
         skip = nn.Conv(24, (1, 1), use_bias=True, name="skip1_conv")(skip)
 
-        b1 = BasicLayer(4, stride=1, name="block1_0")(xn)
-        b1 = BasicLayer(8, stride=2, name="block1_1")(b1)
-        b1 = BasicLayer(8, stride=1, name="block1_2")(b1)
-        b1 = BasicLayer(24, stride=2, name="block1_3")(b1)
+        b1 = self._bl(4, stride=1, name="block1_0")(xn)
+        b1 = self._bl(8, stride=2, name="block1_1")(b1)
+        b1 = self._bl(8, stride=1, name="block1_2")(b1)
+        b1 = self._bl(24, stride=2, name="block1_3")(b1)
 
-        b2 = BasicLayer(24, stride=1, name="block2_0")(b1 + skip)
-        b2 = BasicLayer(24, stride=1, name="block2_1")(b2)
+        b2 = self._bl(24, stride=1, name="block2_0")(b1 + skip)
+        b2 = self._bl(24, stride=1, name="block2_1")(b2)
 
-        b3 = BasicLayer(64, stride=2, name="block3_0")(b2)
-        b3 = BasicLayer(64, stride=1, name="block3_1")(b3)
-        b3 = BasicLayer(64, kernel=1, padding=0, name="block3_2")(b3)
+        b3 = self._bl(64, stride=2, name="block3_0")(b2)
+        b3 = self._bl(64, stride=1, name="block3_1")(b3)
+        b3 = self._bl(64, kernel=1, padding=0, name="block3_2")(b3)
 
-        b4 = BasicLayer(64, stride=2, name="block4_0")(b3)
-        b4 = BasicLayer(64, stride=1, name="block4_1")(b4)
-        b4 = BasicLayer(64, stride=1, name="block4_2")(b4)
+        b4 = self._bl(64, stride=2, name="block4_0")(b3)
+        b4 = self._bl(64, stride=1, name="block4_1")(b4)
+        b4 = self._bl(64, stride=1, name="block4_2")(b4)
 
-        b5 = BasicLayer(128, stride=2, name="block5_0")(b4)
-        b5 = BasicLayer(128, stride=1, name="block5_1")(b5)
-        b5 = BasicLayer(128, stride=1, name="block5_2")(b5)
-        b5 = BasicLayer(64, kernel=1, padding=0, name="block5_3")(b5)
+        b5 = self._bl(128, stride=2, name="block5_0")(b4)
+        b5 = self._bl(128, stride=1, name="block5_1")(b5)
+        b5 = self._bl(128, stride=1, name="block5_2")(b5)
+        b5 = self._bl(64, kernel=1, padding=0, name="block5_3")(b5)
 
         h8, w8 = b3.shape[1], b3.shape[2]
         fused = b3 + _bilinear_resize(b4, h8, w8) + _bilinear_resize(b5, h8, w8)
-        fused = BasicLayer(64, stride=1, name="fusion_0")(fused)
-        fused = BasicLayer(64, stride=1, name="fusion_1")(fused)
+        fused = self._bl(64, stride=1, name="fusion_0")(fused)
+        fused = self._bl(64, stride=1, name="fusion_1")(fused)
         feats = nn.Conv(64, (1, 1), use_bias=True, name="fusion_conv")(fused)
 
         # heatmap (reliability) head
-        hm = BasicLayer(64, kernel=1, padding=0, name="heat_0")(feats)
-        hm = BasicLayer(64, kernel=1, padding=0, name="heat_1")(hm)
+        hm = self._bl(64, kernel=1, padding=0, name="heat_0")(feats)
+        hm = self._bl(64, kernel=1, padding=0, name="heat_1")(hm)
         hm = nn.Conv(1, (1, 1), use_bias=True, name="heat_conv")(hm)
         heatmap = nn.sigmoid(hm)
 
@@ -131,9 +146,9 @@ class XFeatModel(nn.Module):
         B, H, W, _ = xn.shape
         unf = xn.reshape(B, H // 8, 8, W // 8, 8, 1)
         unf = unf.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 8, W // 8, 64)
-        kp = BasicLayer(64, kernel=1, padding=0, name="kp_0")(unf)
-        kp = BasicLayer(64, kernel=1, padding=0, name="kp_1")(kp)
-        kp = BasicLayer(64, kernel=1, padding=0, name="kp_2")(kp)
+        kp = self._bl(64, kernel=1, padding=0, name="kp_0")(unf)
+        kp = self._bl(64, kernel=1, padding=0, name="kp_1")(kp)
+        kp = self._bl(64, kernel=1, padding=0, name="kp_2")(kp)
         kp_logits = nn.Conv(65, (1, 1), use_bias=True, name="kp_conv")(kp)
 
         return feats, kp_logits, heatmap

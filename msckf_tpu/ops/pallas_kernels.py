@@ -21,8 +21,47 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# ---------------------------------------------------------------------------
+# Batch support: every production kernel accepts an optional leading batch
+# axis, implemented as an extra (leading) grid dimension with squeezed blocks
+# — the kernel bodies are shared between the single and batched forms. A
+# custom_vmap rule on each public wrapper dispatches jax.vmap to the batched
+# grid instead of jax's default pallas batching (whose auto-inserted leading
+# block dims violate Mosaic's tiling rules for these layouts), so the
+# vmapped multi-trajectory paths (`parallel/batched.py`, `runner --batch`)
+# run the same kernels as the single-sequence filter.
+# ---------------------------------------------------------------------------
+
+
+def _vspec(shape, batched: bool, grid_rank: int = 1):
+    """BlockSpec for one input/output: whole-array block, optionally sliced
+    along a squeezed leading batch axis by grid dim 0. ``grid_rank`` is the
+    total number of grid dimensions (trailing ones are ignored by the map)."""
+    if not batched:
+        if grid_rank == 0:
+            return pl.BlockSpec(memory_space=pltpu.VMEM)
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(
+            shape, lambda *g: zeros, memory_space=pltpu.VMEM
+        )
+    zeros = (0,) * len(shape)
+    return pl.BlockSpec(
+        (None,) + tuple(shape), lambda *g: (g[0],) + zeros, memory_space=pltpu.VMEM
+    )
+
+
+def _broadcast_unbatched(axis_size, in_batched, args):
+    """Give every argument a leading batch axis (materializing B copies of
+    the unbatched ones — all small constants here)."""
+    out = []
+    for b, a in zip(in_batched, args):
+        a = jnp.asarray(a)
+        out.append(a if b else jnp.broadcast_to(a, (axis_size,) + a.shape))
+    return out
 
 
 def _gating_kernel(S_ref, r_ref, gamma_ref):
@@ -87,19 +126,27 @@ def gating_gamma_reference(S: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
 def _update_terms_kernel(
     rcond: float,
-    H_ref,      # (U, 2M, D) stacked OC-projected Jacobian rows (pre-nullspace)
-    Hf_ref,     # (U, 2M, 3) feature-position Jacobian rows
-    r_ref,      # (U, 2M) residual rows
+    tile_dim: int,  # grid dimension that walks the U tiles (1 when batched)
+    H_ref,      # (Ut, 2M, D) stacked OC-projected Jacobian rows (pre-nullspace)
+    Hf_ref,     # (Ut, 2M, 3) feature-position Jacobian rows
+    r_ref,      # (Ut, 2M) residual rows
     P_ref,      # (D, D) covariance
-    crit_ref,   # (1, U) chi2 critical values (NaN -> fail)
-    selok_ref,  # (1, U) int mask of real (non-padding) tracks
+    crit_ref,   # (Ut, 1) chi2 critical values (NaN -> fail)
+    selok_ref,  # (Ut, 1) int mask of real (non-padding) tracks
     sig_ref,    # (1, 1) sigma^2
-    A_ref,      # out (D, D)
+    A_ref,      # out (D, D) — accumulated across the U-tile grid
     c_ref,      # out (1, D)
-    passed_ref, # out (1, U) int
-    Ht_scr,     # scratch (U, 2M, D)
-    S_scr,      # scratch (U, 2M, 2M)
+    passed_ref, # out (Ut, 1) int
+    Ht_scr,     # scratch (Ut, 2M, D)
+    S_scr,      # scratch (Ut, 2M, 2M)
 ):
+    """One U-tile of the fused update-terms pipeline.
+
+    Grid dimension 0 walks tiles of the update batch; A/c outputs map to the
+    same (D, D)/(1, D) block every step and accumulate (TPU grids execute
+    sequentially), keeping VMEM bounded by the tile size instead of the whole
+    batch (VMEM is ~16 MB/core; the full reference-shaped batch U=128,
+    2M=64, D=207 would need ~3x that resident at once)."""
     dt_ = H_ref.dtype
     U, R2, D = H_ref.shape
     H = H_ref[:]
@@ -192,8 +239,10 @@ def _update_terms_kernel(
         rv = rv - jnp.where(row2 > j, lcol, 0.0) * yj[:, None]
         gamma = gamma + yj * yj
 
-    crit = crit_ref[0, :]
-    selok = selok_ref[0, :] > 0
+    # crit/selok/passed are column-major (Ut, 1): the U-tile axis must sit on
+    # sublanes (divisible by 8) — lane-axis tiles below 128 are illegal
+    crit = crit_ref[:, 0]
+    selok = selok_ref[:, 0] > 0
     passed = selok & (gamma <= crit)  # NaN crit / NaN gamma -> fail
 
     # --- masked accumulation A = sum H~^T H~, c = sum H~^T r~ ---
@@ -210,39 +259,132 @@ def _update_terms_kernel(
     for u in range(U):
         Hu = Ht_scr[u]
         A_acc = A_acc + Hu.T @ Hu
-    A_ref[:] = A_acc
     cx = jnp.sum(r_w[:, :, None] * H_w, axis=0)  # (R2, D)
-    c_ref[:] = jnp.sum(cx, axis=0, keepdims=True)  # (1, D)
-    passed_ref[0, :] = passed.astype(jnp.int32)
+    c_acc = jnp.sum(cx, axis=0, keepdims=True)  # (1, D)
+    passed_ref[:, 0] = passed.astype(jnp.int32)
+
+    # A/c map to the same block for every grid step: init on the first tile,
+    # accumulate on the rest (TPU grid steps run sequentially, innermost
+    # dimension fastest, so all tiles of one batch element are consecutive)
+    @pl.when(pl.program_id(tile_dim) == 0)
+    def _():
+        A_ref[:] = A_acc
+        c_ref[:] = c_acc
+
+    @pl.when(pl.program_id(tile_dim) > 0)
+    def _():
+        A_ref[:] = A_ref[:] + A_acc
+        c_ref[:] = c_ref[:] + c_acc
 
 
-@functools.partial(jax.jit, static_argnames=("rcond", "interpret"))
-def update_terms_fused(H, Hf, r, P, crit, sel_ok, sigma2, rcond, interpret=False):
-    """Fused projector + gate + accumulation. Returns (A, c, passed)."""
-    U, R2, D = H.shape
+_UPDATE_TILE_U = 8
+
+
+def _update_terms_call(H, Hf, r, P, crit, sel_ok, sigma2, rcond, interpret, batched):
+    """Shared single/batched pallas_call. Batched inputs carry a leading B
+    axis; the grid gains a leading (squeezed-block) batch dimension."""
+    if batched:
+        B, U, R2, D = H.shape
+    else:
+        U, R2, D = H.shape
     dt_ = H.dtype
-    kernel = functools.partial(_update_terms_kernel, rcond)
+    Ut = min(_UPDATE_TILE_U, U)
+    Up = -(-U // Ut) * Ut
+    if Up != U:
+        # padding tracks carry sel_ok=0 -> gate fails -> zero contribution
+        nb = int(batched)
+        pad = [(0, 0)] * nb + [(0, Up - U)]
+        H = jnp.pad(H, pad + [(0, 0), (0, 0)])
+        Hf = jnp.pad(Hf, pad + [(0, 0), (0, 0)])
+        r = jnp.pad(r, pad + [(0, 0)])
+        crit = jnp.pad(crit, pad, constant_values=jnp.nan)
+        sel_ok = jnp.pad(sel_ok, pad)
+    nt = Up // Ut
+    grid = (B, nt) if batched else (nt,)
+    gr = len(grid)
+    kernel = functools.partial(_update_terms_kernel, rcond, gr - 1)
+
+    def spec(shape, index):
+        """index: tile-indexed dims marked 't', broadcast dims 0."""
+        if batched:
+            return pl.BlockSpec(
+                (None,) + shape,
+                lambda b, i, index=index: (b,) + tuple(
+                    i if x == "t" else 0 for x in index
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            shape,
+            lambda i, index=index: tuple(i if x == "t" else 0 for x in index),
+            memory_space=pltpu.VMEM,
+        )
+
+    lead = (B,) if batched else ()
     A, c, passed = pl.pallas_call(
         kernel,
+        grid=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((D, D), dt_),
-            jax.ShapeDtypeStruct((1, D), dt_),
-            jax.ShapeDtypeStruct((1, U), jnp.int32),
+            jax.ShapeDtypeStruct(lead + (D, D), dt_),
+            jax.ShapeDtypeStruct(lead + (1, D), dt_),
+            jax.ShapeDtypeStruct(lead + (Up, 1), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        in_specs=[
+            spec((Ut, R2, D), ("t", 0, 0)),
+            spec((Ut, R2, 3), ("t", 0, 0)),
+            spec((Ut, R2), ("t", 0)),
+            spec((D, D), (0, 0)),
+            spec((Ut, 1), ("t", 0)),
+            spec((Ut, 1), ("t", 0)),
+            spec((1, 1), (0, 0)),
+        ],
+        out_specs=(
+            spec((D, D), (0, 0)),
+            spec((1, D), (0, 0)),
+            spec((Ut, 1), ("t", 0)),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((U, R2, D), dt_),
-            pltpu.VMEM((U, R2, R2), dt_),
+            pltpu.VMEM((Ut, R2, D), dt_),
+            pltpu.VMEM((Ut, R2, R2), dt_),
         ],
         interpret=interpret,
     )(
         H, Hf, r, P,
-        crit.reshape(1, U),
-        sel_ok.astype(jnp.int32).reshape(1, U),
-        jnp.asarray(sigma2, dt_).reshape(1, 1),
+        crit.reshape(lead + (Up, 1)),
+        sel_ok.astype(jnp.int32).reshape(lead + (Up, 1)),
+        jnp.asarray(sigma2, dt_).reshape(lead + (1, 1)),
     )
-    return A, c[0], passed[0] > 0
+    if batched:
+        return A, c[:, 0], passed[:, :U, 0] > 0
+    return A, c[0], passed[:U, 0] > 0
+
+
+@functools.lru_cache(maxsize=None)
+def _update_terms_cv(rcond: float, interpret: bool):
+    @custom_vmap
+    def f(H, Hf, r, P, crit, sel_ok, sigma2):
+        return _update_terms_call(
+            H, Hf, r, P, crit, sel_ok, sigma2, rcond, interpret, batched=False
+        )
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = _broadcast_unbatched(axis_size, in_batched, args)
+        out = _update_terms_call(*args, rcond, interpret, batched=True)
+        return out, (True, True, True)
+
+    return f
+
+
+def update_terms_fused(H, Hf, r, P, crit, sel_ok, sigma2, rcond, interpret=False):
+    """Fused projector + gate + accumulation. Returns (A, c, passed).
+
+    Grids over tiles of the update batch so VMEM residency is O(tile), not
+    O(U) — required for the reference-shaped batch (u_max=128). vmap
+    dispatches to an explicit batch grid dimension (see module note)."""
+    return _update_terms_cv(float(rcond), bool(interpret))(
+        H, Hf, r, P, crit, sel_ok, jnp.asarray(sigma2, H.dtype)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -366,43 +508,75 @@ def _verification_kernel(
     epi_ref[:] = x2h[0] * Fx1[0] + x2h[1] * Fx1[1] + x2h[2] * Fx1[2]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def verification_scores(R1, t1, kp1, kp2, camR, camt, K, Kinv, interpret=False):
-    """(homography symmetric transfer error, signed epipolar residual,
-    baseline norm) for every (track, observation) pair.
-
-    R1: (F, M, 3, 3) (flattened to (F*M, 9) planes internally), t1: (F, M, 3),
-    kp1: (F, M, 2), kp2: (F, 2). Returns three (F, M) arrays.
-    """
-    F, M = t1.shape[0], t1.shape[1]
+def _verification_call(R1, t1, kp1, kp2, camR, camt, K, Kinv, interpret, batched):
+    lead = t1.shape[:1] if batched else ()
+    F, M = t1.shape[-3], t1.shape[-2]
     N = F * M
     Np = -(-N // 128) * 128
     Nr = Np // 128
     dt_ = t1.dtype
 
     def planes(x, C):
-        flat = x.reshape(N, C)
-        flat = jnp.pad(flat, ((0, Np - N), (0, 0)))
-        return flat.T.reshape(C, Nr, 128)
+        flat = x.reshape(lead + (N, C))
+        flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, Np - N), (0, 0)])
+        return jnp.swapaxes(flat, -1, -2).reshape(lead + (C, Nr, 128))
 
-    out_shape = tuple(jax.ShapeDtypeStruct((Nr, 128), dt_) for _ in range(3))
+    in_shapes = [(9, Nr, 128), (3, Nr, 128), (2, Nr, 128), (2, Nr, 128),
+                 (3, 3), (1, 3), (3, 3), (3, 3)]
+    kw = {}
+    if batched:
+        kw["grid"] = lead
+        in_specs = [_vspec(s, True) for s in in_shapes]
+        out_specs = tuple(_vspec((Nr, 128), True) for _ in range(3))
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+        out_specs = tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3)
+    out_shape = tuple(jax.ShapeDtypeStruct(lead + (Nr, 128), dt_) for _ in range(3))
     homo, epi, base = pl.pallas_call(
         _verification_kernel,
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        in_specs=in_specs,
+        out_specs=out_specs,
         interpret=interpret,
+        **kw,
     )(
         planes(R1, 9), planes(t1, 3), planes(kp1, 2),
-        planes(jnp.broadcast_to(kp2[:, None, :], (F, M, 2)), 2),
-        camR.astype(dt_), camt.reshape(1, 3).astype(dt_),
+        planes(jnp.broadcast_to(kp2[..., None, :], lead + (F, M, 2)), 2),
+        camR.astype(dt_), camt.reshape(lead + (1, 3)).astype(dt_),
         K.astype(dt_), Kinv.astype(dt_),
     )
 
     def unplane(x):
-        return x.reshape(Np)[:N].reshape(F, M)
+        return x.reshape(lead + (Np,))[..., :N].reshape(lead + (F, M))
 
     return unplane(homo), unplane(epi), unplane(base)
+
+
+@functools.lru_cache(maxsize=None)
+def _verification_cv(interpret: bool):
+    @custom_vmap
+    def f(R1, t1, kp1, kp2, camR, camt, K, Kinv):
+        return _verification_call(
+            R1, t1, kp1, kp2, camR, camt, K, Kinv, interpret, batched=False
+        )
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = _broadcast_unbatched(axis_size, in_batched, args)
+        return _verification_call(*args, interpret, batched=True), (True,) * 3
+
+    return f
+
+
+def verification_scores(R1, t1, kp1, kp2, camR, camt, K, Kinv, interpret=False):
+    """(homography symmetric transfer error, signed epipolar residual,
+    baseline norm) for every (track, observation) pair.
+
+    R1: (F, M, 3, 3) (flattened to (F*M, 9) planes internally), t1: (F, M, 3),
+    kp1: (F, M, 2), kp2: (F, 2). Returns three (F, M) arrays. vmap adds a
+    batch grid dimension (see module note).
+    """
+    return _verification_cv(bool(interpret))(R1, t1, kp1, kp2, camR, camt, K, Kinv)
 
 
 # --------------------------------------------------------------------------
@@ -509,35 +683,79 @@ def _triage_kernel(
     ok_ref[0] = ok.astype(jnp.int32)
 
 
+def _triage_call(
+    line_base, line_dir, weights, anchor_R, anchor_t, K, Kinv,
+    rcond, width, height, interpret, batched,
+):
+    lead = weights.shape[:1] if batched else ()
+    F, M = weights.shape[-2:]
+    dt_ = weights.dtype
+    kernel = functools.partial(_triage_kernel, rcond, float(width), float(height))
+    in_shapes = [(3, F, M), (3, F, M), (F, M), (9, F), (3, F), (3, 3), (3, 3)]
+    kw = {}
+    if batched:
+        kw["grid"] = lead
+        in_specs = [_vspec(s, True) for s in in_shapes]
+        out_specs = tuple(_vspec(s, True) for s in [(3, F), (1, F), (1, F)])
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+        out_specs = tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3)
+    m, rho, ok = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(lead + (3, F), dt_),
+            jax.ShapeDtypeStruct(lead + (1, F), dt_),
+            jax.ShapeDtypeStruct(lead + (1, F), jnp.int32),
+        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        **kw,
+    )(
+        jnp.moveaxis(line_base, -1, -3),
+        jnp.moveaxis(line_dir, -1, -3),
+        weights,
+        jnp.swapaxes(anchor_R.reshape(lead + (F, 9)), -1, -2),
+        jnp.swapaxes(anchor_t, -1, -2),
+        K.astype(dt_), Kinv.astype(dt_),
+    )
+    return (
+        jnp.swapaxes(m, -1, -2),
+        rho[..., 0, :],
+        ok[..., 0, :] > 0,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _triage_cv(rcond: float, width: float, height: float, interpret: bool):
+    @custom_vmap
+    def f(line_base, line_dir, weights, anchor_R, anchor_t, K, Kinv):
+        return _triage_call(
+            line_base, line_dir, weights, anchor_R, anchor_t, K, Kinv,
+            rcond, width, height, interpret, batched=False,
+        )
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = _broadcast_unbatched(axis_size, in_batched, args)
+        return (
+            _triage_call(*args, rcond, width, height, interpret, batched=True),
+            (True,) * 3,
+        )
+
+    return f
+
+
 def triage_refresh_fused(
     line_base, line_dir, weights, anchor_R, anchor_t, K, Kinv,
     rcond, width, height, interpret=False,
 ):
     """(new_m (F,3), new_rho (F,), proj_ok (F,)) — triangulate every track by
     weighted line intersection and re-parameterize its inverse-depth bearing
-    through the anchor camera."""
-    F, M = weights.shape
-    dt_ = weights.dtype
-    kernel = functools.partial(_triage_kernel, rcond, float(width), float(height))
-    m, rho, ok = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((3, F), dt_),
-            jax.ShapeDtypeStruct((1, F), dt_),
-            jax.ShapeDtypeStruct((1, F), jnp.int32),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
-        interpret=interpret,
-    )(
-        jnp.transpose(line_base, (2, 0, 1)),
-        jnp.transpose(line_dir, (2, 0, 1)),
-        weights,
-        anchor_R.reshape(F, 9).T,
-        anchor_t.T,
-        K.astype(dt_), Kinv.astype(dt_),
+    through the anchor camera. vmap adds a batch grid dimension."""
+    return _triage_cv(float(rcond), float(width), float(height), bool(interpret))(
+        line_base, line_dir, weights, anchor_R, anchor_t, K, Kinv
     )
-    return m.T, rho[0], ok[0] > 0
 
 
 # --------------------------------------------------------------------------
@@ -700,7 +918,74 @@ def _propagate_block_kernel(
     phi_out[:] = Phi_acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _propagate_block_call(
+    R0, p0, v0, bg, ba, last_ts, prop_count,
+    ts, gyro, acc, valid, qc_diag, gravity, P15,
+    interpret, batched,
+):
+    lead = ts.shape[:1] if batched else ()
+    nt = ts.shape[-1]
+    dt_ = R0.dtype
+    kernel = functools.partial(_propagate_block_kernel, nt)
+    in_shapes = [
+        (3, 3), (4, 3), (1, 2), (1, nt), (nt, 3), (nt, 3), (1, nt),
+        (15, 12), (1, 3), (3, 1), (15, 15), (9, 3),
+    ]
+    out_shapes = [
+        (3, 3), (2, 3), (1, 2), (15, 15), (15, 15),
+        (nt, 3, 3), (nt, 3), (nt, 3), (nt, 6),
+    ]
+    kw = {}
+    if batched:
+        kw["grid"] = lead
+        in_specs = [_vspec(s, True) for s in in_shapes]
+        out_specs = tuple(_vspec(s, True) for s in out_shapes)
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+        out_specs = tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct(lead + s, dt_) for s in out_shapes),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        **kw,
+    )(
+        R0,
+        jnp.stack([p0, v0, bg, ba], axis=-2),
+        jnp.stack([last_ts, prop_count.astype(dt_)], axis=-1).reshape(lead + (1, 2)),
+        ts.reshape(lead + (1, nt)),
+        gyro,
+        acc,
+        valid.astype(jnp.int32).reshape(lead + (1, nt)),
+        jnp.broadcast_to(qc_diag.reshape(lead + (1, 12)), lead + (15, 12)),
+        gravity.reshape(lead + (1, 3)),
+        gravity.reshape(lead + (3, 1)),
+        P15,
+        jnp.broadcast_to(jnp.asarray(_E_SKEW, dtype=dt_), lead + (9, 3)),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _propagate_block_cv(interpret: bool):
+    @custom_vmap
+    def f(R0, p0, v0, bg, ba, last_ts, prop_count, ts, gyro, acc, valid, qc_diag, gravity, P15):
+        return _propagate_block_call(
+            R0, p0, v0, bg, ba, last_ts, prop_count, ts, gyro, acc, valid,
+            qc_diag, gravity, P15, interpret, batched=False,
+        )
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = _broadcast_unbatched(axis_size, in_batched, args)
+        return (
+            _propagate_block_call(*args, interpret, batched=True),
+            (True,) * 9,
+        )
+
+    return f
+
+
 def propagate_block_fused(
     R0, p0, v0, bg, ba, last_ts, prop_count,
     ts, gyro, acc, valid, qc_diag, gravity, P15,
@@ -709,39 +994,10 @@ def propagate_block_fused(
     """One kernel for a block of B OC-EKF propagation ticks.
 
     Returns (R, p, v, new_last_ts, new_prop_count, P15, Phi_acc,
-    per-tick (R (B,3,3), p (B,3), v (B,3), sig (B,6))).
+    per-tick (R (B,3,3), p (B,3), v (B,3), sig (B,6))). vmap adds a batch
+    grid dimension (see module note).
     """
-    B = ts.shape[0]
-    dt_ = R0.dtype
-    kernel = functools.partial(_propagate_block_kernel, B)
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((3, 3), dt_),
-            jax.ShapeDtypeStruct((2, 3), dt_),
-            jax.ShapeDtypeStruct((1, 2), dt_),
-            jax.ShapeDtypeStruct((15, 15), dt_),
-            jax.ShapeDtypeStruct((15, 15), dt_),
-            jax.ShapeDtypeStruct((B, 3, 3), dt_),
-            jax.ShapeDtypeStruct((B, 3), dt_),
-            jax.ShapeDtypeStruct((B, 3), dt_),
-            jax.ShapeDtypeStruct((B, 6), dt_),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9),
-        interpret=interpret,
-    )(
-        R0,
-        jnp.stack([p0, v0, bg, ba]),
-        jnp.stack([last_ts, prop_count.astype(dt_)]).reshape(1, 2),
-        ts.reshape(1, B),
-        gyro,
-        acc,
-        valid.astype(jnp.int32).reshape(1, B),
-        jnp.tile(qc_diag.reshape(1, 12), (15, 1)),
-        gravity.reshape(1, 3),
-        gravity.reshape(3, 1),
-        P15,
-        jnp.asarray(_E_SKEW, dtype=dt_),
+    return _propagate_block_cv(bool(interpret))(
+        R0, p0, v0, bg, ba, last_ts, prop_count, ts, gyro, acc, valid,
+        qc_diag, gravity, P15,
     )
-    return outs

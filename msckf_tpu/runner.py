@@ -27,11 +27,33 @@ from msckf_tpu.utils.metrics import compute_metrics, results_report
 def _load_sequence(args):
     """Returns (imu_ts, gyro, acc, cam_ticks, kps, descs, scores, gt_R, gt_t,
     image_paths) — image_paths is None for in-memory/synthetic sources."""
-    if args.source == "synthetic" and not os.path.isdir(
-        f"{args.data_root}/synthetic/{args.sequence}"
+    # probe for the dataset marker file, not the directory: --save_results
+    # creates {data_root}/{source}/{sequence}/..._noise/ for its outputs, and
+    # a bare isdir() would mistake a previous run's results tree for a dataset
+    if args.source == "synthetic" and not os.path.isfile(
+        f"{args.data_root}/synthetic/{args.sequence}/transforms_gt.csv"
     ):
-        # no on-disk dataset: generate the circle preset in memory
-        seq = generate_circle_sequence(rng=np.random.default_rng(42))
+        # no on-disk dataset: generate the requested preset in memory.
+        # --gen_noise preset additionally drives the *generated* IMU noise
+        # from the noise preset (like the photorealistic generator,
+        # `photorealistic_generator.py:189-198`); default keeps the synthetic
+        # script's own fixed noise (`synthetic_generator.py:171-185`).
+        gen_kwargs = {}
+        if getattr(args, "gen_noise", "default") == "preset":
+            a_nd, g_nd, a_rw, g_rw = NOISE_PRESETS[args.noise_level]
+            gen_kwargs = dict(
+                sigma_acc=a_nd, sigma_gyro=g_nd, sigma_ba=a_rw, sigma_bg=g_rw
+            )
+        if args.sequence == "classic":
+            from msckf_tpu.data.synthetic import generate_classic_sequence
+
+            seq = generate_classic_sequence(
+                rng=np.random.default_rng(42), **gen_kwargs
+            )
+        else:
+            seq = generate_circle_sequence(
+                rng=np.random.default_rng(42), **gen_kwargs
+            )
         return (
             seq.timestamps, seq.imu_gyro, seq.imu_acc, seq.cam_frame_ticks,
             seq.cam_keypoints, seq.cam_descriptors, seq.cam_scores,
@@ -201,6 +223,12 @@ def main(argv=None):
     ap.add_argument("--log_images", action="store_true")
     ap.add_argument("--data_root", default="./data")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument(
+        "--gen_noise", default="default", choices=["default", "preset"],
+        help="synthetic in-memory source: 'preset' drives the generated IMU "
+        "noise from --noise_level (like the photorealistic generator); "
+        "'default' keeps the synthetic script's fixed noise",
+    )
     ap.add_argument("--only_imu", action="store_true")
     ap.add_argument(
         "--batch", type=int, default=0,
@@ -213,6 +241,10 @@ def main(argv=None):
     import jax
 
     if args.dtype == "float64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    # activate the f64 correction island (MSCKFConfig.correction_dtype) on
+    # backends with native f64
+    if jax.default_backend() == "cpu" and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
 
     a_nd, g_nd, a_rw, g_rw = NOISE_PRESETS[args.noise_level]
@@ -336,13 +368,11 @@ def _run_batched(args, cfg):
 
     import dataclasses
 
-    # vmapped Pallas calls don't lower on TPU (leading batch dim violates the
-    # block-shape tiling rules); the batched path uses the XLA kernels — the
-    # batch dimension amortizes per-op overhead instead. Buffers sized for
-    # the synthetic fixture (validated zero-overflow, see bench.py).
-    cfg = dataclasses.replace(
-        cfg, use_pallas=False, f_max=192, u_max=32, k_max=256, desc_dim=16
-    )
+    # Pallas kernels stay on: vmap dispatches each kernel to an explicit
+    # batch grid dimension (custom_vmap rules in ops/pallas_kernels.py).
+    # Buffers sized for the synthetic fixture (validated zero-overflow, see
+    # bench.py).
+    cfg = dataclasses.replace(cfg, f_max=192, u_max=32, k_max=256, desc_dim=16)
 
     B = args.batch
     seqs = [
