@@ -1,0 +1,175 @@
+"""Rendered-image sequences: a ray-traced textured ground plane under a real
+pinhole camera trajectory, with analytically-consistent IMU.
+
+The photorealistic datasets the reference evaluates on (TartanAir /
+PeringLab, `/root/reference/README.md:23`) are unavailable in this
+environment, so this module renders the stand-in: a procedurally-textured
+plane z=0 viewed by the downward-pitched pinhole camera of the filter config,
+along a waypoint trajectory, at the reference's data rates (IMU ~200 Hz,
+camera 20 Hz). Unlike the synthetic keypoint fixtures, the *images* are the
+ground truth here — features must come from a real front-end (XFeat), which
+makes this the full-pipeline accuracy fixture (images -> CNN -> matching ->
+filter).
+
+The texture is an infinite hashed-lattice multi-octave value noise: evaluable
+at arbitrary world coordinates, deterministic in the seed, band-limited
+enough for stable interest points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from msckf_tpu.data.synthetic import analytic_imu
+
+
+def _hash01(ix: np.ndarray, iy: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic lattice hash -> [0, 1)."""
+    h = (
+        ix.astype(np.int64) * 73856093
+        ^ iy.astype(np.int64) * 19349663
+        ^ np.int64(seed) * 83492791
+    ) & 0x7FFFFFFF
+    h = (h * 2654435761) & 0xFFFFFFFF
+    return (h / 2.0**32).astype(np.float32)
+
+
+def plane_texture(x: np.ndarray, y: np.ndarray, seed: int = 0,
+                  octaves=(0.5, 1.0, 2.0, 4.0, 8.0)) -> np.ndarray:
+    """Multi-octave value noise T(x, y) in [0, 255] at world coords (meters)."""
+    out = np.zeros(x.shape, np.float32)
+    amp = 1.0
+    total = 0.0
+    for k, freq in enumerate(octaves):
+        gx = x * freq
+        gy = y * freq
+        ix = np.floor(gx)
+        iy = np.floor(gy)
+        fx = (gx - ix).astype(np.float32)
+        fy = (gy - iy).astype(np.float32)
+        # smoothstep for C1 continuity
+        fx = fx * fx * (3 - 2 * fx)
+        fy = fy * fy * (3 - 2 * fy)
+        s = seed * 31 + k
+        a = _hash01(ix, iy, s)
+        b = _hash01(ix + 1, iy, s)
+        c = _hash01(ix, iy + 1, s)
+        d = _hash01(ix + 1, iy + 1, s)
+        out += amp * ((1 - fy) * ((1 - fx) * a + fx * b) + fy * ((1 - fx) * c + fx * d))
+        total += amp
+        amp *= 0.55
+    return out / total * 255.0
+
+
+def render_plane_view(R_WC: np.ndarray, t_WC: np.ndarray, K: np.ndarray,
+                      width: int, height: int, seed: int = 0) -> np.ndarray:
+    """Ray-trace the z=0 textured plane through a pinhole camera.
+
+    Pixels whose rays don't hit the plane in front of the camera render 0.
+    """
+    Kinv = np.linalg.inv(K)
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height))
+    pix = np.stack([xs + 0.0, ys + 0.0, np.ones_like(xs, dtype=np.float64)], -1)
+    rays_c = pix @ Kinv.T  # camera-frame directions
+    rays_w = rays_c @ R_WC.T  # world directions
+    # intersect z = 0: t = -cz / dz
+    dz = rays_w[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tt = -t_WC[2] / dz
+    hit = (tt > 1e-3) & np.isfinite(tt)
+    wx = t_WC[0] + tt * rays_w[..., 0]
+    wy = t_WC[1] + tt * rays_w[..., 1]
+    tex = plane_texture(np.where(hit, wx, 0.0), np.where(hit, wy, 0.0), seed)
+    return np.where(hit, tex, 0.0).astype(np.float32)
+
+
+@dataclasses.dataclass
+class RenderedSequence:
+    timestamps: np.ndarray  # (T,)
+    poses_R: np.ndarray  # (T, 3, 3) T_W_Ii
+    poses_t: np.ndarray  # (T, 3)
+    imu_gyro: np.ndarray  # (T, 3) noisy
+    imu_acc: np.ndarray  # (T, 3)
+    cam_frame_ticks: np.ndarray  # (C,)
+    images: np.ndarray  # (C, H, W) float32 [0, 255]
+    R_WC_extrinsic: np.ndarray  # (3, 3) camera-in-IMU rotation used
+
+
+# camera extrinsic: camera z (optical axis) points down at the world plane,
+# camera x right (world x), y down-track (world -y keeps a right-handed frame)
+R_WC_DOWN = np.array([[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]])
+
+
+def generate_rendered_circle(
+    rng: np.random.Generator | None = None,
+    radius: float = 3.0,
+    camera_height: float = 4.0,
+    rate: float = 200.0,
+    camera_every: int = 10,
+    n_ticks: int = 2400,
+    width: int = 320,
+    height: int = 240,
+    fxy: float = 180.0,
+    seed: int = 0,
+    sigma_acc: float = 1e-4,
+    sigma_gyro: float = 1e-5,
+    stationary_prefix: int = 19,
+) -> RenderedSequence:
+    """Circular sweep above the textured plane, camera pitched straight down.
+
+    The IMU frame equals the camera frame here (R_WC extrinsic = identity in
+    the filter config; pass ``R_WC_DOWN``-composed poses as T_W_Ii and use
+    identity camera extrinsics) — the filter sees a monocular-VIO problem
+    identical in structure to the reference's photorealistic runs.
+    """
+    rng = rng or np.random.default_rng(0)
+    dt = 1.0 / rate
+    T = n_ticks
+    tt = np.arange(T) * dt
+
+    # smooth angular ramp from rest (zero-velocity prefix like the reference)
+    omega = 2.0 * np.pi / 18.0  # one lap in 18 s
+    ramp = np.clip((tt - stationary_prefix * dt) / 2.0, 0.0, 1.0)
+    ang = np.cumsum(omega * ramp * dt) if T else np.zeros(0)
+
+    poses_t = np.stack(
+        [radius * np.cos(ang), radius * np.sin(ang),
+         np.full(T, camera_height)], -1
+    )
+    # IMU frame: world-aligned axes rotated by yaw = ang (so the body yaws
+    # around the circle); camera mounted down via R_WC_DOWN
+    cz = np.cos(ang)
+    sz = np.sin(ang)
+    yaw = np.zeros((T, 3, 3))
+    yaw[:, 0, 0] = cz
+    yaw[:, 0, 1] = -sz
+    yaw[:, 1, 0] = sz
+    yaw[:, 1, 1] = cz
+    yaw[:, 2, 2] = 1.0
+    poses_R = yaw
+
+    gravity = np.array([0.0, 0.0, -9.81])
+    gyro_gt, acc_gt = analytic_imu(poses_R, poses_t, dt, gravity)
+    gyro = gyro_gt + rng.normal(0, sigma_gyro, (T, 3))
+    acc = acc_gt + rng.normal(0, sigma_acc, (T, 3))
+    gyro[0] = 0
+    acc[0] = 0
+
+    K = np.array([[fxy, 0, width / 2.0], [0, fxy, height / 2.0], [0, 0, 1]])
+    cam_ticks = np.arange(0, T, camera_every)
+    images = np.empty((len(cam_ticks), height, width), np.float32)
+    for j, i in enumerate(cam_ticks):
+        R_cam = poses_R[i] @ R_WC_DOWN
+        images[j] = render_plane_view(R_cam, poses_t[i], K, width, height, seed)
+    return RenderedSequence(
+        timestamps=tt,
+        poses_R=poses_R,
+        poses_t=poses_t,
+        imu_gyro=gyro,
+        imu_acc=acc,
+        cam_frame_ticks=cam_ticks,
+        images=images,
+        R_WC_extrinsic=R_WC_DOWN,
+    )
