@@ -101,19 +101,42 @@ def load_image_grayscale(path: str) -> np.ndarray:
 
 
 def extract_sequence_features(
-    paths: Sequence[str], top_k: int = 300, params=None
+    paths: Sequence[str], top_k: int = 300, params=None, batch: int = 8
 ):
     """Extract features for a whole image sequence.
 
     The reference runs XFeat one frame at a time inside the filter loop
-    (`MSCKF.py:271-274`); here extraction is hoisted out of the loop and the
-    CNN runs once per frame on-device (batched when shapes allow), feeding
-    the scan pre-extracted features exactly like the synthetic path.
+    (`MSCKF.py:271-274`); here extraction is hoisted out of the loop and
+    same-shaped frames run as batched CNN forwards (``batch`` per dispatch,
+    last chunk padded) — the TPU-first restructure that amortizes both the
+    MXU launch and the host dispatch. Mixed-shape sequences fall back to
+    per-frame extraction.
     """
-    fx = FeatureExtractor(params=params, top_k=top_k)
+    imgs = [load_image_grayscale(p) for p in paths]
     kps, descs, scores = [], [], []
-    for p in paths:
-        k, d, s = fx.extract_features(load_image_grayscale(p))
+    same_shape = len({im.shape for im in imgs}) == 1
+    if same_shape and len(imgs) > 1:
+        from msckf_tpu.parallel.xfeat_sharded import batched_detect_and_compute
+
+        if params is None:
+            params = init_params(jax.random.key(0))
+        for i in range(0, len(imgs), batch):
+            chunk = imgs[i : i + batch]
+            n = len(chunk)
+            while len(chunk) < batch and i > 0:  # pad the last chunk
+                chunk = chunk + [chunk[-1]]
+            arr = jnp.asarray(np.stack(chunk, axis=0))
+            k, d, s, v = jax.device_get(
+                batched_detect_and_compute(params, arr, top_k=top_k)
+            )
+            for j in range(n):
+                kps.append(k[j][v[j]])
+                descs.append(d[j][v[j]])
+                scores.append(s[j][v[j]])
+        return kps, descs, scores
+    fx = FeatureExtractor(params=params, top_k=top_k)
+    for im in imgs:
+        k, d, s = fx.extract_features(im)
         kps.append(k)
         descs.append(d)
         scores.append(s)

@@ -96,10 +96,40 @@ def _load_sequence(args):
         from msckf_tpu.models.frontend import extract_sequence_features
 
         image_paths = cams["image_path"].tolist()
-        kps, descs, scores = extract_sequence_features(image_paths, top_k=300)
+        kps, descs, scores = extract_sequence_features(
+            image_paths, top_k=300, params=_load_xfeat_weights(args)
+        )
     n = len(cam_ticks)
     return (imu_ts, gyro, acc, cam_ticks, kps[:n], descs[:n], scores[:n],
             gt_R, gt_t, image_paths[:n] if image_paths else None)
+
+
+def _load_xfeat_weights(args):
+    """XFeat weights resolution: --xfeat_weights path (.npz self-supervised
+    checkpoint or upstream .pt state_dict), else the repo's trained
+    ``weights/xfeat_selfsup.npz`` when present, else random init (plumbing
+    still exercised; a loud warning says accuracy is meaningless)."""
+    path = getattr(args, "xfeat_weights", "") or ""
+    if not path:
+        default = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "weights", "xfeat_selfsup.npz")
+        path = default if os.path.exists(default) else ""
+    if not path:
+        print(
+            "WARNING: no XFeat weights found (weights/xfeat_selfsup.npz "
+            "missing, --xfeat_weights not given) — the CNN runs with random "
+            "weights; real-image accuracy is meaningless"
+        )
+        return None
+    if path.endswith(".pt"):
+        from msckf_tpu.models.xfeat import load_xfeat_checkpoint
+
+        print(f"XFeat weights: upstream checkpoint {path}")
+        return load_xfeat_checkpoint(path)
+    from msckf_tpu.models.train_xfeat import load_npz_params
+
+    print(f"XFeat weights: {path}")
+    return load_npz_params(path)
 
 
 def _dataset_config(args, cfg, kps, descs):
@@ -224,6 +254,11 @@ def main(argv=None):
     ap.add_argument("--data_root", default="./data")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument(
+        "--xfeat_weights", default="",
+        help="XFeat weights: .npz (self-supervised trainer) or upstream .pt; "
+        "defaults to weights/xfeat_selfsup.npz when present",
+    )
+    ap.add_argument(
         "--gen_noise", default="default", choices=["default", "preset"],
         help="synthetic in-memory source: 'preset' drives the generated IMU "
         "noise from --noise_level (like the photorealistic generator); "
@@ -314,7 +349,7 @@ def main(argv=None):
     report += f"   - ATE within 3-sigma:  {cons['ate_within_3sigma']:.3f}\n"
     report += f"   - AOE within 3-sigma:  {cons['aoe_within_3sigma']:.3f}\n"
     report += (
-        f"   - NEES mean: {cons['nees_mean']:.2f} "
+        f"   - NEES median: {cons['nees_median']:.2f} "
         f"(chi2(6) {cons['nees_lo']:.2f}..{cons['nees_hi']:.2f}, "
         f"in-bounds {cons['nees_within_bounds']:.3f})\n"
     )

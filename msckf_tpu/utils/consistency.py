@@ -73,6 +73,11 @@ def consistency_report(gt_R, gt_t, est_R, est_t, sigma_rot, sigma_pos,
     rot_in = rot_err <= 3 * np.sqrt(np.maximum(sigma_rot, 0))
     return {
         "nees_mean": float(np.mean(nees)),
+        # the mean is dominated by the first post-initialization ticks, where
+        # the true orientation error is finite but the filter's covariance
+        # starts at ~0 (the reference's constructor state, `MSCKF.py:76`);
+        # the median is the representative statistic
+        "nees_median": float(np.median(nees)),
         "nees_within_bounds": float(np.mean((nees >= lo) & (nees <= hi))),
         "nees_lo": lo,
         "nees_hi": hi,
