@@ -37,8 +37,12 @@ def _hash01(ix: np.ndarray, iy: np.ndarray, seed: int) -> np.ndarray:
 
 
 def plane_texture(x: np.ndarray, y: np.ndarray, seed: int = 0,
-                  octaves=(0.5, 1.0, 2.0, 4.0, 8.0)) -> np.ndarray:
-    """Multi-octave value noise T(x, y) in [0, 255] at world coords (meters)."""
+                  octaves=(0.5, 1.0, 2.0, 4.0, 8.0),
+                  decal_cell: float = 0.5) -> np.ndarray:
+    """Procedural texture T(x, y) in [0, 255] at world coords (meters):
+    multi-octave value noise + world-anchored rectangle/ellipse decals (one
+    per ``decal_cell`` grid cell) — the decals give the plane the corner-rich
+    structure a keypoint detector needs (smooth noise alone has none)."""
     out = np.zeros(x.shape, np.float32)
     amp = 1.0
     total = 0.0
@@ -60,7 +64,32 @@ def plane_texture(x: np.ndarray, y: np.ndarray, seed: int = 0,
         out += amp * ((1 - fy) * ((1 - fx) * a + fx * b) + fy * ((1 - fx) * c + fx * d))
         total += amp
         amp *= 0.55
-    return out / total * 255.0
+    noise = out / total
+
+    # decals: each (decal_cell x decal_cell) world cell holds one random
+    # rectangle or ellipse, parameters hashed from the cell index
+    gx = x / decal_cell
+    gy = y / decal_cell
+    ix = np.floor(gx)
+    iy = np.floor(gy)
+    fx = (gx - ix).astype(np.float32)  # position within the cell [0, 1)
+    fy = (gy - iy).astype(np.float32)
+    ds = seed * 131 + 7
+    cx = 0.25 + 0.5 * _hash01(ix, iy, ds + 1)
+    cy = 0.25 + 0.5 * _hash01(ix, iy, ds + 2)
+    hw = 0.08 + 0.30 * _hash01(ix, iy, ds + 3)
+    hh = 0.08 + 0.30 * _hash01(ix, iy, ds + 4)
+    val = _hash01(ix, iy, ds + 5)
+    is_rect = _hash01(ix, iy, ds + 6) < 0.5
+    dx = np.abs(fx - cx)
+    dy = np.abs(fy - cy)
+    inside = np.where(
+        is_rect,
+        (dx < hw) & (dy < hh),
+        (dx / hw) ** 2 + (dy / hh) ** 2 < 1.0,
+    )
+    tex = np.where(inside, 0.35 * noise + 0.65 * val, noise)
+    return tex * 255.0
 
 
 def render_plane_view(R_WC: np.ndarray, t_WC: np.ndarray, K: np.ndarray,
@@ -163,6 +192,10 @@ def generate_rendered_circle(
     for j, i in enumerate(cam_ticks):
         R_cam = poses_R[i] @ R_WC_DOWN
         images[j] = render_plane_view(R_cam, poses_t[i], K, width, height, seed)
+    # GT re-framed so the first pose is the identity, like the reference's
+    # photorealistic re-framing (`photorealistic_generator.py:69-108`) — the
+    # filter always starts at the origin. R0 = I here, so a translation.
+    poses_t = poses_t - poses_t[0]
     return RenderedSequence(
         timestamps=tt,
         poses_R=poses_R,
