@@ -139,6 +139,11 @@ def main():
 
     seq = generate_circle_sequence(rng=np.random.default_rng(0))
 
+    # (3) measured first: per-frame XFeat latency inflates ~100x when timed
+    # after the filter benches in the same process (dispatch-queue/tunnel
+    # state poisoning; standalone 0.10 ms vs 40 ms after) — order matters.
+    xfeat_dt, xfeat_flops = bench_xfeat(jax, jnp, top_k=300)
+
     # (1) round-1 configuration: capacities sized to the sequence (validated:
     # zero overflow, identical trajectory vs f_max=512). desc_dim 16 covers
     # the synthetic 10-d descriptors.
@@ -151,10 +156,6 @@ def main():
     # 64-d descriptors, the default track budget (`config.py` defaults).
     cfg_full = reference_experiment_config(dtype="float32")
     full_hz, full_flops = bench_filter(jax, jnp, cfg_full, seq)
-
-    # (3) CNN-inclusive end-to-end: XFeat forward per frame + full-shape
-    # filter frame block — what the reference's 7 Hz measures.
-    xfeat_dt, xfeat_flops = bench_xfeat(jax, jnp, top_k=300)
     e2e_dt = xfeat_dt + 1.0 / full_hz
     e2e_hz = 1.0 / e2e_dt
 

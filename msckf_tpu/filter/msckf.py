@@ -68,63 +68,66 @@ def add_camera_measurements(
     cam_t = state.cams.t[cam_slot]
     cam_id = state.imu.step_id
 
-    def first_frame(st: FilterState) -> FilterState:
-        # no live tracks: every kept keypoint spawns (`MSCKF.py:291-311`)
-        return spawn_tracks(cfg, st, kp, desc, score, keep, cam_R, cam_t, cam_id)
+    # Cond-free: the reference's three early exits — no kept keypoints
+    # (`MSCKF.py:286`), first frame (`MSCKF.py:291`), and zero matches
+    # (`MSCKF.py:320`) — collapse into ONE activity mask. When matching finds
+    # nothing (or there are no tracks yet), verification/extension are
+    # already exact no-ops through their own masks; the only data-dependent
+    # behaviors are track aging and spawning, both gated on ``act`` below.
+    # lax.cond here would copy the multi-MB track buffers at every branch
+    # boundary and fence fusion; the masked form is branchless and fuses.
+    tr = state.tracks
+    dg = state.diag
+    fused = fused_descriptors(tr)
+    m = mutual_match(fused, tr.valid, desc, keep, cfg.min_cosine_similarity)
+    no_tracks = ~jnp.any(tr.valid)
+    act = jnp.any(keep) & (m.any_match | no_tracks)
 
-    def match_frame(st: FilterState) -> FilterState:
-        tr = st.tracks
-        fused = fused_descriptors(tr)
-        m = mutual_match(fused, tr.valid, desc, keep, cfg.min_cosine_similarity)
-
-        def do(st: FilterState) -> FilterState:
-            tr = st.tracks
-            kp2 = kp[m.track_to_kp]  # (F, 2) matched keypoint per track
-            v = verify_matches(cfg, tr, st.cams, m.track_matched, kp2, cam_R, cam_t)
-            tr = extend_tracks(
-                cfg, tr, v.accept, kp2, desc[m.track_to_kp], score[m.track_to_kp],
-                cam_R, cam_t, cam_id,
-            )
-            # rejected matches (`MSCKF.py:399-401`) and unmatched tracks
-            # (`MSCKF.py:438`) both age by one frame
-            bump = (m.track_matched & ~v.accept) | (tr.valid & ~m.track_matched)
-            tr = tr.replace(lost=tr.lost + bump.astype(tr.lost.dtype))
-            st = st.replace(
-                tracks=tr,
-                diag=st.diag.replace(
-                    n_homography_rejected=st.diag.n_homography_rejected + v.n_homo_rejected,
-                    n_epipolar_rejected=st.diag.n_epipolar_rejected + v.n_epi_rejected,
-                ),
-            )
-            # unmatched kept keypoints spawn new tracks (`MSCKF.py:414-434`)
-            return spawn_tracks(
-                cfg, st, kp, desc, score, keep & ~m.kp_matched, cam_R, cam_t, cam_id
-            )
-
-        # `if len(matched.keypoints) == 0: return` (`MSCKF.py:320`)
-        return lax.cond(m.any_match, do, lambda s: s, st)
-
-    def run(st: FilterState) -> FilterState:
-        return lax.cond(jnp.any(st.tracks.valid), match_frame, first_frame, st)
-
-    # `if len(keypoints) == 0: return` after the score filter (`MSCKF.py:286`)
-    return lax.cond(jnp.any(keep), run, lambda s: s, state)
+    kp2 = kp[m.track_to_kp]  # (F, 2) matched keypoint per track
+    v = verify_matches(cfg, tr, state.cams, m.track_matched, kp2, cam_R, cam_t)
+    tr = extend_tracks(
+        cfg, tr, v.accept, kp2, desc[m.track_to_kp], score[m.track_to_kp],
+        cam_R, cam_t, cam_id,
+    )
+    # rejected matches (`MSCKF.py:399-401`) and unmatched tracks
+    # (`MSCKF.py:438`) both age by one frame — unless the reference would
+    # have early-returned this frame
+    bump = ((m.track_matched & ~v.accept) | (tr.valid & ~m.track_matched)) & act
+    tr = tr.replace(lost=tr.lost + bump.astype(tr.lost.dtype))
+    dg = dg.replace(
+        n_homography_rejected=dg.n_homography_rejected + v.n_homo_rejected,
+        n_epipolar_rejected=dg.n_epipolar_rejected + v.n_epi_rejected,
+    )
+    # unmatched kept keypoints spawn new tracks (`MSCKF.py:414-434`; on the
+    # first frame every kept keypoint spawns, `MSCKF.py:291-311`)
+    tracks, diag, next_id = spawn_tracks(
+        cfg, tr, dg, state.next_track_id, kp, desc, score,
+        keep & ~m.kp_matched & act, cam_R, cam_t, cam_id,
+    )
+    return state.replace(tracks=tracks, diag=diag, next_track_id=next_id)
 
 
 def process_features(cfg: MSCKFConfig, state: FilterState) -> FilterState:
-    """`MSCKF.py:450-456`: triage, update, delete lost tracks + empty cameras."""
+    """`MSCKF.py:450-456`: triage, update, delete lost tracks + empty cameras.
+
+    The reference's ``if len(valid_features) > 0`` guard is reproduced by
+    masking rather than lax.cond: with no valid features the update
+    accumulates A=0, c=0 (whose correction is the exact identity and is
+    skipped by ``ekf_update``'s any_pass cond), no tracks are deleted, and
+    ``remove_cameras`` with an empty victim mask is an exact no-op
+    (identity permutation). A cond here would copy the full state — the
+    covariance included — at the branch boundary every frame.
+    """
     tri = triage_features(cfg, state, state.tracks.valid)
     state = state.replace(tracks=tri.tracks)
+    any_valid = jnp.any(tri.valid)
 
-    def do(st: FilterState) -> FilterState:
-        st = ekf_update(cfg, st, tri.valid)
-        # remove_features(lost) (`MSCKF.py:739-749`)
-        tr = st.tracks
-        st = st.replace(tracks=tr.replace(valid=tr.valid & ~tri.lost))
-        empty = cameras_without_features(cfg, st)
-        return remove_cameras(cfg, st, empty)
-
-    return lax.cond(jnp.any(tri.valid), do, lambda s: s, state)
+    state = ekf_update(cfg, state, tri.valid)
+    # remove_features(lost) (`MSCKF.py:739-749`), gated like the reference
+    tr = state.tracks
+    state = state.replace(tracks=tr.replace(valid=tr.valid & ~(tri.lost & any_valid)))
+    empty = cameras_without_features(cfg, state) & any_valid
+    return remove_cameras(cfg, state, empty)
 
 
 @with_f32_matmuls

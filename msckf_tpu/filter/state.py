@@ -56,30 +56,45 @@ class CameraStates:
 
 # packed per-observation channel layout (one scatter/gather per mutation
 # instead of six — the track buffers are the camera step's bandwidth):
-#   [kp(2) | score(1) | line_base(3) | line_dir(3) | descriptor(desc_dim)]
+#   [kp(2) | score(1) | line_base(3) | line_dir(3) | cam_id(1)
+#    | descriptor(desc_dim)]
+# cam_id rides as a float channel (ids are exact in f32 up to 2^24, far
+# beyond any sequence length) so every obs mutation is ONE scatter and every
+# compaction ONE gather — the separate int/bool scatters were three of the
+# hottest per-frame ops in the full-shape device profile. Observation
+# validity is NOT stored: observations are front-packed by construction
+# (spawn writes row 0, extend appends at n_obs, compaction re-packs), so
+# valid == (col < n_obs); rows at or beyond n_obs may hold stale channels
+# from a recycled slot and every consumer masks through ``obs_valid``.
 OBS_KP = slice(0, 2)
 OBS_SCORE = 2
 OBS_BASE = slice(3, 6)
 OBS_DIR = slice(6, 9)
-OBS_DESC = 9  # start of descriptor channels
+OBS_CAM_ID = 9
+OBS_DESC = 10  # start of descriptor channels
 
 
 def obs_channels(desc_dim: int) -> int:
     return OBS_DESC + desc_dim
 
 
-def pack_obs(kp, score, line_base, line_dir, desc):
+def pack_obs(kp, score, line_base, line_dir, desc, cam_id=None):
     """Stack per-observation fields into the packed channel layout."""
+    shape = kp.shape[:-1]
+    dt = kp.dtype
+    cam = (
+        jnp.broadcast_to(cam_id, shape).astype(dt)
+        if cam_id is not None else jnp.full(shape, -1.0, dt)
+    )
     return jnp.concatenate(
-        [kp, score[..., None], line_base, line_dir, desc], axis=-1
+        [kp, score[..., None], line_base, line_dir, cam[..., None], desc],
+        axis=-1,
     )
 
 
 @struct.dataclass
 class TrackStore:
     obs: jnp.ndarray  # (F, M, C) packed per-observation channels (see above)
-    obs_cam_id: jnp.ndarray  # (F, M) int32 camera id of each observation
-    obs_valid: jnp.ndarray  # (F, M) bool
     n_obs: jnp.ndarray  # (F,) int32 — observations are packed at the front
     idp_base: jnp.ndarray  # (F, 3) anchor position frozen at creation (`geometry.py:55`)
     idp_m: jnp.ndarray  # (F, 3) unit bearing
@@ -105,6 +120,15 @@ class TrackStore:
     @property
     def line_dir(self):  # (F, M, 3) world ray at observation time
         return self.obs[..., OBS_DIR]
+
+    @property
+    def obs_cam_id(self):  # (F, M) int32 camera id of each observation
+        return self.obs[..., OBS_CAM_ID].astype(jnp.int32)
+
+    @property
+    def obs_valid(self):  # (F, M) bool — front-packed invariant
+        M = self.obs.shape[1]
+        return jnp.arange(M)[None, :] < self.n_obs[:, None]
 
     @property
     def desc(self):  # (F, M, Dd) per-observation descriptors
@@ -161,10 +185,10 @@ def init_state(cfg: MSCKFConfig) -> FilterState:
         valid=jnp.zeros((N,), dtype=bool),
         n=jnp.zeros((), dtype=i32),
     )
+    obs0 = jnp.zeros((F, M, obs_channels(Dd)), dtype=dt)
+    obs0 = obs0.at[..., OBS_CAM_ID].set(-1.0)
     tracks = TrackStore(
-        obs=jnp.zeros((F, M, obs_channels(Dd)), dtype=dt),
-        obs_cam_id=jnp.full((F, M), -1, dtype=i32),
-        obs_valid=jnp.zeros((F, M), dtype=bool),
+        obs=obs0,
         n_obs=jnp.zeros((F,), dtype=i32),
         idp_base=jnp.zeros((F, 3), dtype=dt),
         idp_m=jnp.zeros((F, 3), dtype=dt),

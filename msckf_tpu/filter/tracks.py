@@ -22,7 +22,9 @@ from msckf_tpu.ops.geometry import idp_angles_m
 
 def spawn_tracks(
     cfg: MSCKFConfig,
-    state: FilterState,
+    tr: TrackStore,
+    diag,
+    next_track_id: jnp.ndarray,  # () int32
     kp: jnp.ndarray,  # (K, 2)
     desc: jnp.ndarray,  # (K, Dd)
     score: jnp.ndarray,  # (K,)
@@ -30,17 +32,18 @@ def spawn_tracks(
     cam_R: jnp.ndarray,  # (3, 3) current camera pose
     cam_t: jnp.ndarray,  # (3,)
     cam_id: jnp.ndarray,  # () int32
-) -> FilterState:
+):
     """New feature creation (`MSCKF.py:291-309` / `:414-434`).
 
     Each spawned keypoint gets: first observation (kp/desc/score/camera),
     an observation-time world ray Line(cam_t, R_c K^-1 [kp,1])
     (`MSCKF.py:297-305`), and an inverse-depth point anchored at the current
-    camera (`MSCKF.py:306`, `geometry.py:53-59`).
+    camera (`MSCKF.py:306`, `geometry.py:53-59`). Operates on (and returns)
+    only the state pieces it mutates — (tracks, diag, next_track_id) — so
+    callers can thread a slim carry through their lax.cond branches.
     """
     dt_ = cfg.jdtype
     F, K = cfg.f_max, cfg.k_max
-    tr = state.tracks
 
     # free slots in slot order
     free_order = jnp.sort(jnp.where(~tr.valid, jnp.arange(F), F))  # (F,)
@@ -57,20 +60,19 @@ def spawn_tracks(
     Ci_v = homog @ Kinv.T  # (K, 3)
     W_v = Ci_v @ cam_R.T  # (K, 3)
 
-    obs0 = pack_obs(kp, score, jnp.broadcast_to(cam_t, (K, 3)), W_v, desc)  # (K, C)
-    C = obs0.shape[-1]
-    new_obs = jnp.zeros((K, cfg.m_max, C), dt_).at[:, 0].set(obs0)
+    obs0 = pack_obs(
+        kp, score, jnp.broadcast_to(cam_t, (K, 3)), W_v, desc,
+        cam_id=cam_id.astype(dt_),
+    )  # (K, C)
 
     at = lambda a: a.at[slot]
     drop = dict(mode="drop")
     tracks = tr.replace(
-        obs=at(tr.obs).set(new_obs, **drop),
-        obs_cam_id=at(tr.obs_cam_id).set(
-            jnp.full((K, cfg.m_max), -1, jnp.int32).at[:, 0].set(cam_id), **drop
-        ),
-        obs_valid=at(tr.obs_valid).set(
-            jnp.zeros((K, cfg.m_max), bool).at[:, 0].set(True), **drop
-        ),
+        # only row 0 is written: recycled slots keep stale rows beyond
+        # n_obs=1, which the front-packed obs_valid invariant masks out
+        # everywhere (writing the whole (K, M, C) block was the larger of
+        # the two spawn scatters in the device profile)
+        obs=tr.obs.at[slot, 0].set(obs0, **drop),
         n_obs=at(tr.n_obs).set(jnp.ones((K,), jnp.int32), **drop),
         idp_base=at(tr.idp_base).set(jnp.broadcast_to(cam_t, (K, 3)), **drop),
         idp_m=at(tr.idp_m).set(idp_angles_m(W_v), **drop),
@@ -79,16 +81,16 @@ def spawn_tracks(
         lost=at(tr.lost).set(jnp.zeros((K,), jnp.int32), **drop),
         valid=at(tr.valid).set(jnp.ones((K,), bool), **drop),
         track_id=at(tr.track_id).set(
-            (state.next_track_id + 1 + rank).astype(jnp.int32), **drop
+            (next_track_id + 1 + rank).astype(jnp.int32), **drop
         ),
     )
-    diag = state.diag.replace(
-        n_track_overflow=state.diag.n_track_overflow + overflow.astype(jnp.int32)
+    diag = diag.replace(
+        n_track_overflow=diag.n_track_overflow + overflow.astype(jnp.int32)
     )
-    return state.replace(
-        tracks=tracks,
-        next_track_id=state.next_track_id + jnp.sum(spawn_mask).astype(jnp.int32),
-        diag=diag,
+    return (
+        tracks,
+        diag,
+        next_track_id + jnp.sum(spawn_mask).astype(jnp.int32),
     )
 
 
@@ -118,11 +120,12 @@ def extend_tracks(
     a = accept & (tracks.n_obs < M)
     cols = jnp.where(a, jnp.clip(tracks.n_obs, 0, M - 1), M)  # M -> dropped
     drop = dict(mode="drop")
-    new_row = pack_obs(kp, score, jnp.broadcast_to(cam_t, (F, 3)), W_v, desc)  # (F, C)
+    new_row = pack_obs(
+        kp, score, jnp.broadcast_to(cam_t, (F, 3)), W_v, desc,
+        cam_id=cam_id.astype(dt_),
+    )  # (F, C)
     return tracks.replace(
         obs=tracks.obs.at[rows, cols].set(new_row, **drop),
-        obs_cam_id=tracks.obs_cam_id.at[rows, cols].set(cam_id, **drop),
-        obs_valid=tracks.obs_valid.at[rows, cols].set(True, **drop),
         n_obs=jnp.where(a, tracks.n_obs + 1, tracks.n_obs),
         tracked=jnp.where(a, tracks.tracked + 1, tracks.tracked),
         lost=jnp.where(a, 0, tracks.lost),
@@ -136,22 +139,20 @@ def compact_observations(tracks: TrackStore, obs_keep: jnp.ndarray) -> TrackStor
     zeroed and packed to the back with a stable sort. Tracks left with zero
     observations are invalidated (`MSCKF.py:770-773`).
     """
-    F, M = tracks.obs_valid.shape
+    F, M = tracks.obs.shape[:2]
     keep = tracks.obs_valid & obs_keep
     key = jnp.where(keep, 0, 1) * M + jnp.arange(M)[None, :]
     perm = jnp.argsort(key, axis=1)  # (F, M) kept-in-order first
 
-    new_valid_obs = jnp.take_along_axis(keep, perm, axis=1)
     n_obs = jnp.sum(keep, axis=1).astype(jnp.int32)
     track_alive = tracks.valid & (n_obs > 0)
-    obs = jnp.take_along_axis(tracks.obs, perm[..., None], axis=1)
-    return tracks.replace(
-        obs=jnp.where(new_valid_obs[..., None], obs, 0.0),
-        obs_cam_id=jnp.where(new_valid_obs, jnp.take_along_axis(tracks.obs_cam_id, perm, axis=1), -1),
-        obs_valid=new_valid_obs,
-        n_obs=n_obs,
-        valid=track_alive,
-    )
+    # permutation as a one-hot batched matmul (MXU), not a gather: the
+    # (F, M, C) take_along_axis was the hottest op of the marginalization
+    # path. Rows beyond the new n_obs carry stale channels, masked by the
+    # front-packed obs_valid invariant.
+    oh = (perm[..., None] == jnp.arange(M)).astype(tracks.obs.dtype)  # (F, M, M)
+    obs = jnp.einsum("fij,fjc->fic", oh, tracks.obs)
+    return tracks.replace(obs=obs, n_obs=n_obs, valid=track_alive)
 
 
 def resolve_cam_slots(obs_cam_id: jnp.ndarray, cam_ids: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -165,3 +166,21 @@ def resolve_cam_slots(obs_cam_id: jnp.ndarray, cam_ids: jnp.ndarray) -> tuple[jn
     found = jnp.any(eq, axis=-1)
     slots = jnp.argmax(eq, axis=-1).astype(jnp.int32)
     return slots, found
+
+
+def gather_cam_poses(obs_cam_id: jnp.ndarray, cams) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-observation camera pose lookup as a one-hot matmul.
+
+    Returns (R (..., 3, 3), t (..., 3), onehot (..., N) float). Equivalent to
+    ``cams.R[slots]`` for resolvable ids but runs on the MXU — the big
+    (F, M)-shaped pose gathers were among the hottest ops in the full-shape
+    device profile (XLA lowers TPU gathers to slow serialized loops).
+    Unresolvable ids (invalid/padding observations) yield ZERO matrices
+    instead of slot 0's pose; every consumer masks those rows out, and the
+    zero forms stay finite through the downstream guards.
+    """
+    w = (obs_cam_id[..., None] == cams.cam_id).astype(cams.R.dtype)  # (..., N)
+    N = cams.cam_id.shape[0]
+    R = (w @ cams.R.reshape(N, 9)).reshape(obs_cam_id.shape + (3, 3))
+    t = w @ cams.t
+    return R, t, w

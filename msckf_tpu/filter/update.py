@@ -41,7 +41,7 @@ from jax import lax
 
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import OBS_KP, FilterState, TrackStore
-from msckf_tpu.filter.tracks import resolve_cam_slots
+from msckf_tpu.filter.tracks import gather_cam_poses, resolve_cam_slots
 from msckf_tpu.ops.geometry import idp_angles_m, skew, so3_exp
 from msckf_tpu.ops.smallmat import (
     default_rcond,
@@ -93,9 +93,9 @@ def triage_features(cfg: MSCKFConfig, state: FilterState, subset: jnp.ndarray) -
     lost_out = sub & lost_f
 
     # --- triangulate + refresh IDP for valid tracks (`MSCKF.py:480-491`) ---
-    anchor_slot, _ = resolve_cam_slots(tr.obs_cam_id[:, 0], cams.cam_id)  # (F,)
-    R_a = cams.R[anchor_slot]  # (F, 3, 3)
-    t_a = cams.t[anchor_slot]
+    # one-hot matmul pose lookup (zero pose for unresolved anchors — those
+    # tracks are invalid and masked out of the refresh)
+    R_a, t_a, _ = gather_cam_poses(tr.obs_cam_id[:, 0], cams)  # (F, 3, 3), (F, 3)
     K = jnp.asarray(cfg.K_np, dtype=dt_)
     Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
 
@@ -191,9 +191,7 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     m_vec = tr.idp_m[sel_c]
     rho = tr.idp_rho[sel_c]
 
-    slots, _ = resolve_cam_slots(obs_cam_id, cams.cam_id)  # (U, M)
-    R_c = cams.R[slots]  # (U, M, 3, 3)
-    t_c = cams.t[slots]  # (U, M, 3)
+    R_c, t_c, onehot_w = gather_cam_poses(obs_cam_id, cams)  # (U, M, 3, 3), (U, M, 3), (U, M, N)
     R_CW = jnp.swapaxes(R_c, -1, -2)
 
     gravity = jnp.asarray(cfg.gravity_np, dtype=dt_)
@@ -241,7 +239,7 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     Hf = jnp.where(obs_valid[..., None, None], Hf, 0.0)
 
     # place 6-col blocks at their camera slots -> (U, 2M, D)
-    onehot = (jax.nn.one_hot(slots, N, dtype=dt_) * obs_valid[..., None])  # (U, M, N)
+    onehot = onehot_w * obs_valid[..., None]  # (U, M, N)
     Hcam = (onehot[:, :, None, :, None] * Hx6[:, :, :, None, :])  # (U, M, 2, N, 6)
     Hcam = Hcam.reshape(U, M, 2, N * 6)
     Hfull = jnp.concatenate([jnp.zeros((U, M, 2, 15), dtype=dt_), Hcam], axis=-1)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import CameraStates, TrackStore
-from msckf_tpu.filter.tracks import resolve_cam_slots
+from msckf_tpu.filter.tracks import gather_cam_poses
 from msckf_tpu.ops.geometry import skew
 from msckf_tpu.ops.smallmat import matmul_small, matvec_small, transpose_small
 
@@ -41,10 +41,10 @@ def verify_matches(
     K = jnp.asarray(cfg.K_np, dtype=dt_)
     Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
 
-    # per-observation camera poses (current estimates, `MSCKF.py:349-350`)
-    slots, _ = resolve_cam_slots(tracks.obs_cam_id, cams.cam_id)  # (F, M)
-    R1 = cams.R[slots]  # (F, M, 3, 3)
-    t1 = cams.t[slots]  # (F, M, 3)
+    # per-observation camera poses (current estimates, `MSCKF.py:349-350`);
+    # one-hot matmul, not a gather (see tracks.gather_cam_poses) — unresolved
+    # rows get zero poses, finite through the guards and masked by obs_valid
+    R1, t1, _ = gather_cam_poses(tracks.obs_cam_id, cams)  # (F, M, 3, 3), (F, M, 3)
     kp1 = tracks.kp  # (F, M, 2) historical observations
 
     import jax

@@ -41,12 +41,16 @@ def _make_state(cfg, cam_ids, track_specs):
         t=st.cams.t.at[:n].set(jnp.arange(n, dtype=cfg.jdtype)[:, None] * jnp.ones(3, cfg.jdtype)),
         n=jnp.asarray(n, jnp.int32),
     )
+    from msckf_tpu.filter.state import OBS_CAM_ID
+
     tr = st.tracks
     for slot, (tid, obs_cams) in enumerate(track_specs):
         m = len(obs_cams)
+        obs = tr.obs.at[slot, :m, OBS_CAM_ID].set(
+            jnp.asarray(obs_cams, tr.obs.dtype)
+        )
         tr = tr.replace(
-            obs_cam_id=tr.obs_cam_id.at[slot, :m].set(jnp.asarray(obs_cams, jnp.int32)),
-            obs_valid=tr.obs_valid.at[slot, :m].set(True),
+            obs=obs,
             n_obs=tr.n_obs.at[slot].set(m),
             valid=tr.valid.at[slot].set(True),
             track_id=tr.track_id.at[slot].set(tid),
