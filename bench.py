@@ -75,7 +75,8 @@ def bench_filter(jax, jnp, cfg, seq):
     gt_final = jnp.asarray(seq.poses_t[len(seq.timestamps) - 1], dtype=cfg.jdtype)
 
     def run(state, prefix, frames):
-        final, _, _ = run_sequence(cfg, state, prefix, frames)
+        # assume_camera: build_stream blocks always carry a camera frame
+        final, _, _ = run_sequence(cfg, state, prefix, frames, assume_camera=True)
         err = jnp.linalg.norm(final.imu.p_WI - gt_final)
         overflow = final.diag.n_track_overflow + final.diag.n_update_overflow
         return err, overflow
@@ -90,11 +91,15 @@ def bench_filter(jax, jnp, cfg, seq):
     assert int(overflow) == 0, "capacity overflow: benchmark config undersized"
 
     n_frames = std.frames["imu_ts"].shape[0]
-    reps = 5
-    dt, _ = _time_reps(
-        lambda: jax.device_get(compiled(state, std.prefix, std.frames)), reps
-    )
-    return n_frames / dt, _flops_of(compiled) / n_frames
+    # median of three 5-rep passes: single-pass numbers vary a few percent
+    # with tunnel/host interference
+    passes = []
+    for _ in range(3):
+        dt, _ = _time_reps(
+            lambda: jax.device_get(compiled(state, std.prefix, std.frames)), 5
+        )
+        passes.append(dt)
+    return n_frames / sorted(passes)[1], _flops_of(compiled) / n_frames
 
 
 def bench_xfeat(jax, jnp, top_k=300, width=640, height=480):

@@ -26,13 +26,12 @@ def remove_cameras(cfg: MSCKFConfig, state: FilterState, victim: jnp.ndarray) ->
     tracks.
     """
     victim = victim & state.cams.valid
-    # skip the whole permutation machinery on frames with no removals
-    return lax.cond(
-        jnp.any(victim),
-        lambda s: _remove_cameras_impl(cfg, s, victim),
-        lambda s: s,
-        state,
-    )
+    # no cond: with no victims the compaction permutation is the identity
+    # (kept_order = active slots in order), the covariance gather copies P
+    # unchanged, and observation compaction keeps everything — an exact
+    # no-op. The permutation work every frame is cheaper than a lax.cond's
+    # state copies at the branch boundary.
+    return _remove_cameras_impl(cfg, state, victim)
 
 
 def _remove_cameras_impl(cfg: MSCKFConfig, state: FilterState, victim: jnp.ndarray) -> FilterState:

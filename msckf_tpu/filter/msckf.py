@@ -197,13 +197,19 @@ def _block_outputs(cfg: MSCKFConfig, state: FilterState, outs) -> TickOutput:
 
 
 @with_f32_matmuls
-def frame_step(cfg: MSCKFConfig, state: FilterState, frame: dict):
+def frame_step(cfg: MSCKFConfig, state: FilterState, frame: dict,
+               assume_camera: bool = False):
     """One camera-frame block: B IMU ticks, camera on tick 0 (when flagged).
 
     Tick 0 propagates and runs the vision update (the driver samples metrics
     after both callbacks, `main.py:278-298`); ticks 1..B-1 are IMU-only and
     run as one composed ``propagate_block`` that touches the padded
     covariance once.
+
+    ``assume_camera`` (static): when the caller knows every frame block in
+    the stream carries a valid camera (no padding blocks — the stream
+    builder reports this), the per-frame has_camera cond — whose branch
+    boundary copies the full state — is dropped entirely.
     """
     ts, gyro, acc, valid = (
         frame["imu_ts"], frame["imu_gyro"], frame["imu_acc"], frame["imu_valid"]
@@ -217,7 +223,10 @@ def frame_step(cfg: MSCKFConfig, state: FilterState, frame: dict):
             cfg, s, frame["kp"], frame["desc"], frame["score"], frame["kp_valid"]
         )
 
-    state = lax.cond(frame["has_camera"] & valid[0], cam, lambda s: s, state)
+    if assume_camera:
+        state = cam(state)
+    else:
+        state = lax.cond(frame["has_camera"] & valid[0], cam, lambda s: s, state)
     out0 = _tick_output(state, valid[0])
 
     state, outs = propagate_block(cfg, state, ts[1:], gyro[1:], acc[1:], valid[1:])
@@ -227,7 +236,8 @@ def frame_step(cfg: MSCKFConfig, state: FilterState, frame: dict):
 
 
 @with_f32_matmuls
-def run_filter(cfg: MSCKFConfig, state: FilterState, stream: dict):
+def run_filter(cfg: MSCKFConfig, state: FilterState, stream: dict,
+               assume_camera: bool = False):
     """Scan the filter over a whole prepared sequence on device.
 
     ``stream`` is the dict produced by ``msckf_tpu.data.stream.build_stream``
@@ -236,17 +246,19 @@ def run_filter(cfg: MSCKFConfig, state: FilterState, stream: dict):
     """
 
     def fr(st, frame):
-        return frame_step(cfg, st, frame)
+        return frame_step(cfg, st, frame, assume_camera=assume_camera)
 
     return lax.scan(fr, state, stream)
 
 
 @with_f32_matmuls
-def run_sequence(cfg: MSCKFConfig, state: FilterState, prefix: dict, frames: dict):
+def run_sequence(cfg: MSCKFConfig, state: FilterState, prefix: dict, frames: dict,
+                 assume_camera: bool = False):
     """Full sequence: propagate-only prefix, then camera-frame blocks.
 
     Returns (final_state, prefix TickOutput (Bp, ...), frame TickOutput
-    (C, B, ...)). Jit this whole function with cfg static.
+    (C, B, ...)). Jit this whole function with cfg (and assume_camera)
+    static.
     """
 
     state, outs = propagate_block(
@@ -274,7 +286,7 @@ def run_sequence(cfg: MSCKFConfig, state: FilterState, prefix: dict, frames: dic
         blank, pre_out,
     )
     pre_out = pre_out._replace(valid=prefix["imu_valid"])
-    state, frame_out = run_filter(cfg, state, frames)
+    state, frame_out = run_filter(cfg, state, frames, assume_camera=assume_camera)
     return state, pre_out, frame_out
 
 

@@ -368,9 +368,10 @@ def ekf_update(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray) -> Filt
             n_update_overflow=state.diag.n_update_overflow + terms.n_overflow,
         )
     )
-    return lax.cond(
-        terms.any_pass,
-        lambda s: apply_correction(cfg, s, terms.A, terms.c),
-        lambda s: s,
-        state,
-    )
+    # no cond (`MSCKF.py:584-585`'s skip): with A=0, c=0 the correction is
+    # the exact identity — delta = L@0 = 0, I - LA = I, Joseph = I P I + 0,
+    # exp-map of 0 = I — so the all-rejected case needs no branch. The
+    # rotation re-orthonormalization runs either way; on an already
+    # orthonormal matrix it is the identity to round-off (the same
+    # Newton-Schulz fixed point).
+    return apply_correction(cfg, state, terms.A, terms.c)

@@ -306,7 +306,7 @@ def main(argv=None):
     from msckf_tpu.filter.msckf import make_initial_state, run_sequence
 
     state = make_initial_state(cfg, std.R_init)
-    run = jax.jit(functools.partial(run_sequence, cfg))
+    run = jax.jit(functools.partial(run_sequence, cfg, assume_camera=True))
 
     t0 = time.perf_counter()
     final, pre_out, fr_out = run(state, std.prefix, std.frames)
