@@ -91,6 +91,7 @@ class MSCKFConfig:
     # use Pallas kernels for TPU hot spots (falls back to XLA off-TPU)
     use_pallas: bool = True
     use_pallas_triage: bool = True
+    use_pallas_propagation: bool = True
 
     # --- numerics ---
     dtype: str = "float32"

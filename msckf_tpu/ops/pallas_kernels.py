@@ -759,6 +759,52 @@ def triage_refresh_fused(
 
 
 # --------------------------------------------------------------------------
+# Slim covariance recurrence: P <- Phi_i P Phi_i^T + Qd_i (+ symmetrize) over
+# a block of ticks, with Phi/Qd precomputed as batched XLA ops outside
+# (filter/propagation._phi_q_block). Replaces the round-1 monolithic
+# propagation kernel whose in-kernel tiny-matrix skew/outer matmuls cost an
+# MXU pass each (~289 us/frame at the small shape).
+# --------------------------------------------------------------------------
+
+
+def _p15_recurrence_kernel(nticks, P0_ref, Phi_ref, Qd_ref,
+                           P_out, acc_out, sig_out):
+    dt_ = P0_ref.dtype
+    P = P0_ref[:]
+    I15 = jnp.eye(15, dtype=dt_)
+    Acc = I15
+    for i in range(nticks):
+        Phi = Phi_ref[i]
+        P = Phi @ P @ Phi.T + Qd_ref[i]
+        P = 0.5 * (P + P.T)
+        Acc = Phi @ Acc
+        diag_row = jnp.sum(P * I15, axis=0, keepdims=True)  # (1, 15)
+        sig_out[i : i + 1, 0:3] = diag_row[:, 0:3]
+        sig_out[i : i + 1, 3:6] = diag_row[:, 12:15]
+    P_out[:] = P
+    acc_out[:] = Acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def p15_recurrence_fused(P0, Phi, Qd, interpret: bool = False):
+    """(P_final (15,15), Phi_acc (15,15), per-tick sigma diags (B, 6))."""
+    B = Phi.shape[0]
+    dt_ = P0.dtype
+    kernel = functools.partial(_p15_recurrence_kernel, B)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((15, 15), dt_),
+            jax.ShapeDtypeStruct((15, 15), dt_),
+            jax.ShapeDtypeStruct((B, 6), dt_),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        interpret=interpret,
+    )(P0, Phi, Qd)
+
+
+# --------------------------------------------------------------------------
 # Fused IMU-block propagation: B sequential OC-EKF ticks in one kernel.
 # Replaces the inner lax.scan of propagate_block (the per-tick 15x15 math ran
 # as ~10 HLO thunks per tick). All state lives in VMEM for the whole block;

@@ -1,62 +1,88 @@
-"""Fused Pallas propagation block (interpret mode) vs the scan form."""
+"""Hybrid propagation block (batched Phi/Qd + interpret-mode P-recurrence
+kernel) vs the pure-scan form — the TPU production path's parity gate."""
+
+import functools
 
 import numpy as np
-from scipy.spatial.transform import Rotation
 
 import jax
 import jax.numpy as jnp
 
 from msckf_tpu import reference_experiment_config
-from msckf_tpu.filter.propagation import _propagate_block_scan
-from msckf_tpu.ops.pallas_kernels import propagate_block_fused
+from msckf_tpu.filter.propagation import (
+    _propagate_block_hybrid,
+    _propagate_block_scan,
+)
 from tests.test_filter_units import CFG, _rand_state
 
 
-def test_fused_block_matches_scan():
-    rng = np.random.default_rng(4)
-    cfg = reference_experiment_config(**{**CFG, "dtype": "float32"})
-    state, _ = _rand_state(rng, cfg)
-    state = jax.tree.map(
-        lambda x: x.astype(cfg.jdtype)
-        if jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        state,
-    )
-    B = 9
-    ts = (1.0 + 0.005 * np.arange(1, B + 1)).astype(np.float32)
-    gyro = rng.normal(size=(B, 3)).astype(np.float32) * 0.1
-    acc = (rng.normal(size=(B, 3)) + np.array([0, 0, 9.8])).astype(np.float32)
+def _block_inputs(rng, B=9, pad=2):
+    ts = (1.0 + 0.005 * np.arange(1, B + 1)).astype(np.float64)
+    gyro = rng.normal(size=(B, 3)) * 0.1
+    acc = rng.normal(size=(B, 3)) + np.array([0, 0, 9.8])
     valid = np.ones(B, bool)
-    valid[-2:] = False  # padding ticks
+    if pad:
+        valid[-pad:] = False  # padding ticks
+    return map(jnp.asarray, (ts, gyro, acc, valid))
+
+
+def _run_both(cfg, state, ts, gyro, acc, valid):
+    import msckf_tpu.ops.pallas_kernels as pk
 
     ref_state, ref_outs = jax.jit(
-        lambda s: _propagate_block_scan(cfg, s, jnp.asarray(ts), jnp.asarray(gyro),
-                                        jnp.asarray(acc), jnp.asarray(valid))
+        lambda s: _propagate_block_scan(cfg, s, ts, gyro, acc, valid)
     )(state)
+    orig = pk.p15_recurrence_fused
+    pk.p15_recurrence_fused = functools.partial(orig, interpret=True)
+    try:
+        hyb_state, hyb_outs = jax.jit(
+            lambda s: _propagate_block_hybrid(cfg, s, ts, gyro, acc, valid)
+        )(state)
+    finally:
+        pk.p15_recurrence_fused = orig
+    return (ref_state, ref_outs), (hyb_state, hyb_outs)
 
-    imu = state.imu
-    dt_ = cfg.jdtype
-    outs = propagate_block_fused(
-        imu.R_WI, imu.p_WI, imu.v_WI, imu.bg, imu.ba,
-        imu.timestamp, imu.prop_count,
-        jnp.asarray(ts, dt_), jnp.asarray(gyro, dt_), jnp.asarray(acc, dt_),
-        jnp.asarray(valid),
-        jnp.asarray(cfg.noise_cov_diag_np, dtype=dt_),
-        jnp.asarray(cfg.gravity_np, dtype=dt_),
-        state.P[:15, :15],
-        interpret=True,
-    )
-    R, pv, meta, P15, Phi_acc, outR, outp, outv, outsig = outs
 
-    np.testing.assert_allclose(np.asarray(R), np.asarray(ref_state.imu.R_WI), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(pv[0]), np.asarray(ref_state.imu.p_WI), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(pv[1]), np.asarray(ref_state.imu.v_WI), atol=2e-6)
-    assert int(meta[0, 1]) == int(ref_state.imu.prop_count)
-    np.testing.assert_allclose(
-        np.asarray(P15), np.asarray(ref_state.P[:15, :15]), atol=1e-6
+def test_hybrid_block_matches_scan():
+    rng = np.random.default_rng(4)
+    cfg = reference_experiment_config(**{**CFG, "dtype": "float64"})
+    state, _ = _rand_state(rng, cfg)
+    state = state.replace(
+        P=state.P.at[:15, :15].set(jnp.eye(15, dtype=cfg.jdtype) * 1e-4)
     )
-    # per-tick outputs
-    np.testing.assert_allclose(np.asarray(outp), np.asarray(ref_outs[1]), atol=2e-6)
+    ts, gyro, acc, valid = _block_inputs(rng)
+    (s1, o1), (s2, o2) = _run_both(cfg, state, ts, gyro, acc, valid)
+    np.testing.assert_allclose(np.asarray(s1.P), np.asarray(s2.P), atol=1e-12)
     np.testing.assert_allclose(
-        np.asarray(outsig[:, 0:3]), np.asarray(ref_outs[3]), atol=1e-6
+        np.asarray(s1.imu.R_WI), np.asarray(s2.imu.R_WI), atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.imu.p_WI), np.asarray(s2.imu.p_WI), atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.imu.v_WI), np.asarray(s2.imu.v_WI), atol=1e-13
+    )
+    assert int(s1.imu.step_id) == int(s2.imu.step_id)
+    assert int(s1.imu.prop_count) == int(s2.imu.prop_count)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_hybrid_first_step_null_quirk():
+    """prop_count == 0: the OC fix-up's null states are the constructor
+    identity, not the pre-tick state (`IMU.py:38-39`)."""
+    rng = np.random.default_rng(11)
+    cfg = reference_experiment_config(**{**CFG, "dtype": "float64"})
+    state, _ = _rand_state(rng, cfg)
+    state = state.replace(
+        imu=state.imu.replace(
+            prop_count=jnp.zeros((), jnp.int32),
+            timestamp=jnp.asarray(0.995, cfg.jdtype),
+        )
+    )
+    ts, gyro, acc, valid = _block_inputs(rng, pad=0)
+    (s1, o1), (s2, o2) = _run_both(cfg, state, ts, gyro, acc, valid)
+    np.testing.assert_allclose(np.asarray(s1.P), np.asarray(s2.P), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s1.imu.R_WI), np.asarray(s2.imu.R_WI), atol=1e-13
     )
