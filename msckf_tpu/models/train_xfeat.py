@@ -296,15 +296,18 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="weights/xfeat_selfsup.npz")
     ap.add_argument("--pool", type=int, default=400)
+    ap.add_argument("--resume", default="", help="npz checkpoint to continue from")
     ap.add_argument("--eval", action="store_true")
     args = ap.parse_args(argv)
 
     import os
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    init = load_npz_params(args.resume) if args.resume else None
     variables = train(
         steps=args.steps, batch=args.batch, size=args.size, lr=args.lr,
         seed=args.seed, out=args.out, pool_pairs=args.pool,
+        init_variables=init,
     )
     if args.eval:
         prec, nm = match_accuracy(variables, np.random.default_rng(999))

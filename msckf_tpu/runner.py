@@ -26,7 +26,48 @@ from msckf_tpu.utils.metrics import compute_metrics, results_report
 
 def _load_sequence(args):
     """Returns (imu_ts, gyro, acc, cam_ticks, kps, descs, scores, gt_R, gt_t,
-    image_paths) — image_paths is None for in-memory/synthetic sources."""
+    image_paths, cfg_overrides) — image_paths is None for in-memory/synthetic
+    sources; cfg_overrides carries source-mandated camera parameters."""
+    if args.source == "rendered":
+        # ray-traced textured-plane sequence: the full image pipeline
+        # (frames -> XFeat -> filter), the in-repo stand-in for the
+        # reference's photorealistic datasets (data/rendered.py)
+        import functools as ft
+
+        import jax
+        import jax.numpy as jnp
+
+        from msckf_tpu.data.rendered import generate_rendered_circle
+        from msckf_tpu.models.xfeat import detect_and_compute, init_params
+
+        a_nd, g_nd, a_rw, g_rw = NOISE_PRESETS[args.noise_level]
+        gen_kwargs = {}
+        if args.gen_noise == "preset":
+            gen_kwargs = dict(sigma_acc=a_nd, sigma_gyro=g_nd)
+        seq = generate_rendered_circle(
+            rng=np.random.default_rng(42),
+            n_ticks=min(args.max_frames, 4800), **gen_kwargs,
+        )
+        params = _load_xfeat_weights(args)
+        if params is None:
+            params = init_params(jax.random.key(0))
+        fn = jax.jit(ft.partial(detect_and_compute, top_k=300))
+        kps, descs, scores = [], [], []
+        for img in seq.images:
+            k, d, s, v = jax.device_get(fn(params, jnp.asarray(img)))
+            kps.append(k[v])
+            descs.append(d[v])
+            scores.append(s[v])
+        H, W = seq.images.shape[1:]
+        overrides = dict(
+            R_WC=tuple(map(tuple, seq.R_WC_extrinsic.tolist())),
+            K=((180.0, 0.0, W / 2.0), (0.0, 180.0, H / 2.0), (0.0, 0.0, 1.0)),
+            width=W, height=H,
+        )
+        return (
+            seq.timestamps, seq.imu_gyro, seq.imu_acc, seq.cam_frame_ticks,
+            kps, descs, scores, seq.poses_R, seq.poses_t, None, overrides,
+        )
     # probe for the dataset marker file, not the directory: --save_results
     # creates {data_root}/{source}/{sequence}/..._noise/ for its outputs, and
     # a bare isdir() would mistake a previous run's results tree for a dataset
@@ -57,7 +98,7 @@ def _load_sequence(args):
         return (
             seq.timestamps, seq.imu_gyro, seq.imu_acc, seq.cam_frame_ticks,
             seq.cam_keypoints, seq.cam_descriptors, seq.cam_scores,
-            seq.poses_R, seq.poses_t, None,
+            seq.poses_R, seq.poses_t, None, {},
         )
 
     if args.source in ("tartanair", "peringlab"):
@@ -101,7 +142,7 @@ def _load_sequence(args):
         )
     n = len(cam_ticks)
     return (imu_ts, gyro, acc, cam_ticks, kps[:n], descs[:n], scores[:n],
-            gt_R, gt_t, image_paths[:n] if image_paths else None)
+            gt_R, gt_t, image_paths[:n] if image_paths else None, {})
 
 
 def _load_xfeat_weights(args):
@@ -157,7 +198,7 @@ def _dataset_config(args, cfg, kps, descs):
             f"px {info['K'][0][2]}, py {info['K'][1][2]}], "
             f"{info['width']}x{info['height']}"
         )
-    elif args.source != "synthetic":
+    elif args.source not in ("synthetic", "rendered"):
         print(
             f"WARNING: {args.data_root}/{args.source}/camera_info.csv not found; "
             f"using default intrinsics (fx {cfg.K[0][0]}) — metrics will be "
@@ -245,7 +286,7 @@ def _save_debug_images(out_dir, cfg, kps, scores, descs, image_paths, max_frames
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Run TPU-native MSCKF VIO on a dataset")
     ap.add_argument("--source", default="synthetic",
-                    choices=["synthetic", "peringlab", "tartanair"])
+                    choices=["synthetic", "rendered", "peringlab", "tartanair"])
     ap.add_argument("--sequence", default="circle")
     ap.add_argument("--max_frames", type=int, default=2400)
     ap.add_argument("--noise_level", default="mid", choices=["low", "mid", "high"])
@@ -296,8 +337,12 @@ def main(argv=None):
         return _run_batched(args, cfg)
 
     (imu_ts, gyro, acc, cam_ticks, kps, descs, scores, gt_R, gt_t,
-     image_paths) = _load_sequence(args)
+     image_paths, src_overrides) = _load_sequence(args)
     cfg = _dataset_config(args, cfg, kps, descs)
+    if src_overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **src_overrides)
     stream = build_stream(
         cfg, imu_ts, gyro, acc, cam_ticks, kps, descs, scores, max_ticks=args.max_frames
     )

@@ -34,3 +34,16 @@ def test_runner_only_imu(tmp_path):
          "--dtype", "float64", "--only_imu", "--data_root", str(tmp_path)]
     )
     assert np.isfinite(m.mean_rte)
+
+
+def test_runner_rendered_source(tmp_path):
+    """--source rendered: the full image pipeline through the CLI glue
+    (small frames, whatever weights are available)."""
+    from msckf_tpu.runner import main
+
+    m = main(
+        ["--source", "rendered", "--max_frames", "600",
+         "--data_root", str(tmp_path)]
+    )
+    assert np.isfinite(m.mean_rte)
+    assert np.all(np.isfinite(m.ate))
