@@ -53,6 +53,13 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.pack_blocks.restype = ctypes.c_int
+    lib.csv_read_many.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_char,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.csv_read_many.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -82,6 +89,41 @@ def read_numeric_csv(path: str, sep: str = ",") -> np.ndarray:
     if got != rows.value:
         raise IOError(f"csv_read parsed {got}/{rows.value} rows of {path}")
     return out
+
+
+def read_numeric_csvs(paths, sep: str = ",", threads: int | None = None):
+    """Parse many numeric CSVs concurrently (native thread pool).
+
+    The multi-sequence feeder for the batched runner: python-side pandas
+    loads serialize on the GIL; the native pool parses one mmap'd file per
+    thread. Falls back to a serial loop without the toolchain. Returns a
+    list of (rows, cols) float64 arrays in input order.
+    """
+    lib = _load()
+    if not lib:
+        return [read_numeric_csv(p, sep) for p in paths]
+    n = len(paths)
+    if n == 0:
+        return []
+    if threads is None:
+        threads = min(n, os.cpu_count() or 1)
+    dims = []
+    for p in paths:
+        rows = ctypes.c_int64()
+        cols = ctypes.c_int64()
+        rc = lib.csv_dims(p.encode(), sep.encode(), ctypes.byref(rows), ctypes.byref(cols))
+        if rc != 0:
+            raise IOError(f"csv_dims failed for {p}")
+        dims.append((rows.value, cols.value))
+    outs = [np.empty(d, dtype=np.float64) for d in dims]
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_outs = (ctypes.POINTER(ctypes.c_double) * n)(*[_dptr(a) for a in outs])
+    c_rows = (ctypes.c_int64 * n)(*[d[0] for d in dims])
+    c_cols = (ctypes.c_int64 * n)(*[d[1] for d in dims])
+    rc = lib.csv_read_many(c_paths, sep.encode(), c_outs, c_rows, c_cols, n, threads)
+    if rc != 0:
+        raise IOError("csv_read_many: a file failed to parse completely")
+    return outs
 
 
 def pack_blocks_native(

@@ -172,3 +172,27 @@ def save_sequence_csv(seq, folder: str) -> None:
     for i in range(seq.world_descriptors.shape[1]):
         wp[f"descriptor_{i}"] = seq.world_descriptors[:, i]
     pd.DataFrame(wp).to_csv(f"{folder}/world_points.csv", index=False)
+
+
+def load_imu_batch(paths, threads=None):
+    """Load many imu.csv files concurrently through the native thread pool
+    (`native/fastcsv.cpp::csv_read_many`) — the host-side feeder for the
+    batched multi-sequence runner, where per-file pandas reads serialize on
+    the GIL. Returns a list of (ts, gyro, acc) in input order."""
+    from msckf_tpu.data.native_io import read_numeric_csvs
+
+    paths = list(paths)
+    headers = []
+    for p in paths:
+        with open(p) as f:
+            headers.append([c.strip() for c in f.readline().strip().split(",")])
+    bodies = read_numeric_csvs(paths, threads=threads)
+    out = []
+    for hdr, arr in zip(headers, bodies):
+        ix = {name: i for i, name in enumerate(hdr)}
+        out.append((
+            arr[:, ix["timestamp"]],
+            arr[:, [ix["wx"], ix["wy"], ix["wz"]]],
+            arr[:, [ix["ax"], ix["ay"], ix["az"]]],
+        ))
+    return out

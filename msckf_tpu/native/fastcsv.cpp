@@ -9,6 +9,7 @@
 //
 // Build: make -C msckf_tpu/native   (g++ -O3 -shared -fPIC)
 
+#include <atomic>
 #include <cctype>
 #include <cmath>
 #include <cstdint>
@@ -18,7 +19,9 @@
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <thread>
 #include <unistd.h>
+#include <vector>
 
 namespace {
 
@@ -161,6 +164,34 @@ int pack_blocks(const double* imu_ts, const double* gyro, const double* acc,
         }
     }
     return 0;
+}
+
+// Threaded multi-file loader: parse n_files numeric CSVs concurrently, each
+// into its caller-preallocated buffer (the multi-sequence feeder for the
+// batched runner — python-side pandas loads serialize on the GIL). A small
+// pool of std::threads drains an atomic work index; each worker runs the
+// same mmap single-pass parser as csv_read. Returns 0 iff every file parsed
+// exactly its expected row count.
+int csv_read_many(const char** paths, char sep, double** outs,
+                  const int64_t* rows, const int64_t* cols, int64_t n_files,
+                  int64_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n_files) n_threads = n_files;
+    std::atomic<int64_t> next(0);
+    std::atomic<int> failures(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_files) return;
+            int64_t got = csv_read(paths[i], sep, outs[i], rows[i], cols[i]);
+            if (got != rows[i]) failures.fetch_add(1);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int64_t t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+    return failures.load() == 0 ? 0 : 1;
 }
 
 }  // extern "C"

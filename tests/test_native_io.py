@@ -55,3 +55,47 @@ def test_pack_blocks_overflow():
     z = np.zeros((30, 3))
     with pytest.raises(ValueError):
         native_io.pack_blocks_native(ts, z, z, np.array([0], dtype=np.int64), 8)
+
+
+def test_read_numeric_csvs_threaded(tmp_path):
+    """csv_read_many: concurrent multi-file parse matches per-file parses."""
+    import numpy as np
+
+    from msckf_tpu.data.native_io import read_numeric_csv, read_numeric_csvs
+
+    rng = np.random.default_rng(5)
+    paths = []
+    refs = []
+    for i in range(9):
+        a = rng.normal(size=(200 + 17 * i, 3 + (i % 3)))
+        p = tmp_path / f"seq{i}.csv"
+        hdr = ",".join(f"c{j}" for j in range(a.shape[1]))
+        np.savetxt(p, a, delimiter=",", header=hdr, comments="")
+        paths.append(str(p))
+        refs.append(a)
+    outs = read_numeric_csvs(paths, threads=4)
+    for out, ref, p in zip(outs, refs, paths):
+        np.testing.assert_allclose(out, read_numeric_csv(p), atol=0)
+        np.testing.assert_allclose(out, ref, rtol=1e-12)
+
+
+def test_load_imu_batch(tmp_path):
+    """Threaded multi-sequence IMU loading matches the pandas path."""
+    import numpy as np
+
+    from msckf_tpu.data import parser as parsing
+    from msckf_tpu.data.synthetic import generate_circle_sequence
+
+    paths = []
+    seqs = []
+    for i in range(3):
+        seq = generate_circle_sequence(rng=np.random.default_rng(i), n_world_points=50)
+        d = tmp_path / f"s{i}"
+        parsing.save_sequence_csv(seq, str(d))
+        paths.append(str(d / "imu.csv"))
+        seqs.append(seq)
+    out = parsing.load_imu_batch(paths, threads=3)
+    for (ts, gyro, acc), seq in zip(out, seqs):
+        np.testing.assert_allclose(ts, seq.timestamps, atol=1e-9)
+        np.testing.assert_allclose(gyro, seq.imu_gyro, atol=1e-9)
+        np.testing.assert_allclose(acc, seq.imu_acc, atol=1e-9)
