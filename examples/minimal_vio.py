@@ -8,9 +8,15 @@ prints trajectory accuracy and consistency, and (optionally) writes plots.
 
 import argparse
 import functools
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python examples/minimal_vio.py` from anywhere, without
+# PYTHONPATH (which shadows the environment's TPU plugin registration)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
