@@ -100,3 +100,76 @@ def test_noise_sweep(level):
     _, err = _run(cfg, seq, 600)
     bound = {"low": 0.1, "mid": 0.3, "high": 1.0}[level]
     assert err[-1] < bound, f"{level}: {err[-1]}"
+
+
+def test_gn_refinement_numpy_oracle():
+    """Independent NumPy Gauss-Newton oracle for refine_inverse_depth_gn:
+    same measurement model, numeric-difference Jacobians, same damping and
+    iteration count — the two refinements must land on the same (m, rho)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from msckf_tpu.ops.triangulation import refine_inverse_depth_gn
+
+    rng = np.random.default_rng(17)
+    M = 8
+    # ground-truth point and cameras looking roughly at it
+    gt = np.array([1.0, 0.5, 6.0])
+    cam_t = rng.normal(scale=0.5, size=(M, 3))
+    cam_R = np.stack([np.eye(3)] * M)  # forward-looking
+    z = np.empty((M, 2))
+    for j in range(M):
+        pc = cam_R[j].T @ (gt - cam_t[j])
+        z[j] = pc[:2] / pc[2] + rng.normal(scale=1e-3, size=2)
+    anchor_base = cam_t[0]
+    v0 = gt - anchor_base
+    m0 = v0 / np.linalg.norm(v0)
+    rho0 = 0.5 / np.linalg.norm(v0)  # deliberately off
+    mask = np.ones(M, bool)
+    iters, damping = 6, 1e-6
+
+    def pack(th, ph, rho):
+        return np.array([th, ph, rho])
+
+    def model_residual(p):
+        th, ph, rho = p
+        m = np.array([np.cos(ph) * np.sin(th), -np.sin(ph), np.cos(ph) * np.cos(th)])
+        r = np.empty(2 * M)
+        for j in range(M):
+            pw = rho * (anchor_base - cam_t[j]) + m
+            pc = cam_R[j].T @ pw
+            zc = pc[2] if abs(pc[2]) > 1e-12 else 1e-12
+            r[2 * j : 2 * j + 2] = z[j] - pc[:2] / zc
+        return r
+
+    # NumPy GN with numeric Jacobians (independent of the jax derivation)
+    th = np.arctan2(m0[0], m0[2])
+    ph = np.arctan2(-m0[1], np.hypot(m0[0], m0[2]))
+    p = pack(th, ph, rho0)
+    eps = 1e-7
+    for _ in range(iters):
+        r = model_residual(p)
+        J = np.empty((2 * M, 3))
+        for k in range(3):
+            dp = np.zeros(3)
+            dp[k] = eps
+            J[:, k] = (model_residual(p + dp) - model_residual(p - dp)) / (2 * eps)
+        J = -J  # jax code defines J = d r / d p with r = z - zhat
+        H = J.T @ J + damping * np.eye(3)
+        p = p - np.linalg.solve(H, J.T @ r * -1.0)
+
+    m_np = np.array([
+        np.cos(p[1]) * np.sin(p[0]), -np.sin(p[1]), np.cos(p[1]) * np.cos(p[0])
+    ])
+    m_jx, rho_jx = refine_inverse_depth_gn(
+        jnp.asarray(anchor_base), jnp.asarray(m0), jnp.asarray(rho0),
+        jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(z),
+        jnp.asarray(mask), iters=iters, damping=damping,
+    )
+    np.testing.assert_allclose(np.asarray(m_jx), m_np, atol=1e-5)
+    np.testing.assert_allclose(float(rho_jx), p[2], atol=1e-5)
+    # and both must actually localize the point: reproject through camera 0
+    pw = p[2] * (anchor_base - cam_t[0]) + m_np
+    depth = 1.0 / p[2]
+    est = anchor_base + m_np * depth  # world point from the anchor form
+    np.testing.assert_allclose(est, gt, atol=2e-2)
