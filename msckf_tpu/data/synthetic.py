@@ -17,7 +17,7 @@ parser provide the disk format for compatibility.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 from scipy.interpolate import CubicSpline

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from msckf_tpu.config import MSCKFConfig
-from msckf_tpu.filter.state import FilterState, TrackStore, pack_obs
+from msckf_tpu.filter.state import TrackStore, pack_obs
 from msckf_tpu.ops.geometry import idp_angles_m
 
 

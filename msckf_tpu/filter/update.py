@@ -37,7 +37,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import OBS_KP, FilterState, TrackStore

@@ -16,7 +16,6 @@ exercises the partitioned program on the virtual CPU mesh.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
