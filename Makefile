@@ -26,7 +26,10 @@ test-imports:
 	  msckf_tpu.ops.geometry, msckf_tpu.ops.camera, msckf_tpu.ops.triangulation, \
 	  msckf_tpu.ops.smallmat, msckf_tpu.ops.pallas_kernels, msckf_tpu.ops.precision, \
 	  msckf_tpu.models.xfeat, msckf_tpu.models.frontend, \
-	  msckf_tpu.parallel.batched, msckf_tpu.data.synthetic, \
+	  msckf_tpu.models.selfsup, msckf_tpu.models.train_xfeat, \
+	  msckf_tpu.parallel.batched, msckf_tpu.parallel.multihost, \
+	  msckf_tpu.parallel.xfeat_sharded, msckf_tpu.data.rendered, \
+	  msckf_tpu.data.synthetic, \
 	  msckf_tpu.data.photorealistic, msckf_tpu.data.parser, msckf_tpu.data.stream, \
 	  msckf_tpu.data.native_io, msckf_tpu.utils.metrics, msckf_tpu.utils.viz, \
 	  msckf_tpu.utils.checkpoint, msckf_tpu.utils.consistency; print('imports OK')"

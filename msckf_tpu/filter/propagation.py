@@ -135,11 +135,16 @@ def propagate_block(cfg: MSCKFConfig, state: FilterState,
                     ts_b, gyro_b, acc_b, valid_b):
     if (cfg.use_pallas and cfg.use_pallas_propagation
             and jax.default_backend() == "tpu"):
+        B = ts_b.shape[0]
         # tiny blocks: the monolithic kernel's single dispatch beats the
-        # hybrid's handful of batched XLA ops; longer blocks amortize them
-        if ts_b.shape[0] <= 2:
+        # hybrid's handful of batched XLA ops; longer blocks amortize them.
+        # Very long blocks (a long pre-image IMU prefix) fall back to the
+        # scan — the P-recurrence kernels unroll B iterations in Mosaic and
+        # compile time grows with the unroll.
+        if B <= 2:
             return _propagate_block_fused(cfg, state, ts_b, gyro_b, acc_b, valid_b)
-        return _propagate_block_hybrid(cfg, state, ts_b, gyro_b, acc_b, valid_b)
+        if B <= 64:
+            return _propagate_block_hybrid(cfg, state, ts_b, gyro_b, acc_b, valid_b)
     return _propagate_block_scan(cfg, state, ts_b, gyro_b, acc_b, valid_b)
 
 
