@@ -94,12 +94,20 @@ def random_texture(rng: np.random.Generator, size: int) -> np.ndarray:
 # -------------------------------------------------------------- homographies
 
 
-def random_homography(rng: np.random.Generator, size: int, scale: float = 0.15):
-    """Corner-perturbation homography: the four corners of the (size, size)
-    square move by up to ``scale * size``; DLT solve."""
+def random_homography(rng: np.random.Generator, size: int, scale: float = 0.15,
+                      max_rot: float = 0.5, scale_range: tuple = (0.8, 1.25)):
+    """Random similarity (rotation up to ``max_rot`` rad, isotropic scale in
+    ``scale_range``) composed with a corner-perturbation homography (corners
+    move by up to ``scale * size``; DLT solve) — covering the rotation and
+    depth-change viewpoint shifts a moving camera produces."""
     s = float(size - 1)
     src = np.array([[0, 0], [s, 0], [s, s], [0, s]], np.float64)
-    dst = src + rng.uniform(-scale, scale, (4, 2)) * s
+    ang = rng.uniform(-max_rot, max_rot)
+    sc = rng.uniform(*scale_range)
+    ca, sa = np.cos(ang) * sc, np.sin(ang) * sc
+    ctr = np.array([s / 2, s / 2])
+    sim = (src - ctr) @ np.array([[ca, -sa], [sa, ca]]).T + ctr
+    dst = sim + rng.uniform(-scale, scale, (4, 2)) * s
     A = []
     for (x, y), (u, v) in zip(src, dst):
         A.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
