@@ -194,11 +194,12 @@ class WarpBatch:
     kp_labels2: np.ndarray  # (B, S/8, S/8)
 
 
-def make_batch(rng: np.random.Generator, batch: int, size: int = 256) -> WarpBatch:
+def make_batch(rng: np.random.Generator, batch: int, size: int = 256,
+               **homography_kwargs) -> WarpBatch:
     i1, i2, Hs, l1, l2 = [], [], [], [], []
     for _ in range(batch):
         base = random_texture(rng, size)
-        H = random_homography(rng, size)
+        H = random_homography(rng, size, **homography_kwargs)
         warped = warp_image(base, H)
         jit2 = photometric_jitter(rng, warped)
         i1.append(base)

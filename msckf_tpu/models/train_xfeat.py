@@ -166,16 +166,20 @@ def make_train_step(tx, size):
 
 
 def match_accuracy(variables, rng: np.random.Generator, n_pairs=8, size=256,
-                   top_k=200, tol_px=3.0):
+                   top_k=200, tol_px=3.0, hard=False):
     """Weights-quality gate: mutual-NN match precision on held-out warps.
 
-    Returns (precision, mean #matches): fraction of mutual matches whose
-    reprojection error through the true homography is < tol_px.
+    ``hard=False`` evaluates on mild warps (small rotation/scale — the
+    frame-to-frame viewpoint change sequential VIO matching actually sees);
+    ``hard=True`` uses the full training augmentation (rotation to 0.5 rad,
+    scale 0.8-1.25). Returns (precision, mean #matches): fraction of mutual
+    matches whose reprojection error through the true homography is < tol_px.
     """
     from msckf_tpu.models.selfsup import make_batch as mb
     from msckf_tpu.models.xfeat import detect_and_compute
 
-    batch = mb(rng, n_pairs, size)
+    kw = {} if hard else dict(scale=0.08, max_rot=0.1, scale_range=(0.95, 1.05))
+    batch = mb(rng, n_pairs, size, **kw)
     fn = jax.jit(functools.partial(detect_and_compute, top_k=top_k))
     precisions, counts = [], []
     for b in range(n_pairs):
