@@ -50,6 +50,16 @@ class MSCKFConfig:
     gyroscope_noise_density: float = 0.0001
     gyroscope_random_walk: float = 0.000001
     gravity: Tuple[float, ...] = (0.0, 0.0, -9.81)
+    # The reference consumes the noise numbers as CONTINUOUS densities
+    # (Q = sigma^2 dt, `MSCKF.py:99-104,237`) while its generators inject
+    # them as PER-SAMPLE standard deviations — underestimating the injected
+    # variance by 1/dt (~200x at 200 Hz), which makes the filter
+    # overconfident on preset-noise data (docs/RESULTS.md Mode B). Setting
+    # ``noise_input_rate`` to the IMU sample rate declares the configured
+    # numbers to be per-sample sigmas; the filter converts them to true
+    # densities (sigma * sqrt(dt)) internally. 0 keeps the reference's
+    # literal behavior (the parity default).
+    noise_input_rate: float = 0.0
 
     # --- features (`MSCKF.py:36-45`) ---
     number_of_extracted_features: int = 256
@@ -153,18 +163,24 @@ class MSCKFConfig:
     @cached_property
     def noise_cov_diag_np(self) -> np.ndarray:
         """Diagonal of the 12x12 continuous noise covariance (`MSCKF.py:99-104`):
-        [sigma_g^2 I, sigma_bg^2 I, sigma_a^2 I, sigma_ba^2 I]."""
-        return np.repeat(
-            np.array(
-                [
-                    self.gyroscope_noise_density**2,
-                    self.gyroscope_random_walk**2,
-                    self.accelerometer_noise_density**2,
-                    self.accelerometer_random_walk**2,
-                ]
-            ),
-            3,
+        [sigma_g^2 I, sigma_bg^2 I, sigma_a^2 I, sigma_ba^2 I]. With
+        ``noise_input_rate`` set, the configured per-sample sigmas convert to
+        densities first (variance scales by dt = 1/rate)."""
+        d = np.array(
+            [
+                self.gyroscope_noise_density**2,
+                self.gyroscope_random_walk**2,
+                self.accelerometer_noise_density**2,
+                self.accelerometer_random_walk**2,
+            ]
         )
+        if self.noise_input_rate > 0:
+            # white-noise sigmas: discrete variance sigma_d^2 == q / dt
+            # -> density q = sigma_d^2 / f. Random-walk step sigmas:
+            # per-step variance sigma_rw^2 == q_b * dt -> q_b = sigma_rw^2 * f.
+            f = self.noise_input_rate
+            d = d * np.array([1.0 / f, f, 1.0 / f, f])
+        return np.repeat(d, 3)
 
     @cached_property
     def chi2_table_np(self) -> np.ndarray:

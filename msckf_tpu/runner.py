@@ -300,6 +300,14 @@ def main(argv=None):
         "defaults to weights/xfeat_selfsup.npz when present",
     )
     ap.add_argument(
+        "--noise_input", default="density", choices=["density", "discrete"],
+        help="'density': preset numbers are continuous densities (the "
+        "reference's literal behavior). 'discrete': they are per-sample "
+        "sigmas at the IMU rate; the filter converts internally "
+        "(MSCKFConfig.noise_input_rate) — fixes the reference's inherited "
+        "overconfidence on preset-injected data (docs/RESULTS.md Mode B)",
+    )
+    ap.add_argument(
         "--gen_noise", default="default", choices=["default", "preset"],
         help="synthetic in-memory source: 'preset' drives the generated IMU "
         "noise from --noise_level (like the photorealistic generator); "
@@ -331,6 +339,10 @@ def main(argv=None):
         gyroscope_noise_density=g_nd,
         accelerometer_random_walk=a_rw,
         gyroscope_random_walk=g_rw,
+        # --noise_input discrete: interpret presets as per-sample sigmas at
+        # the reference's ~200 Hz IMU rate (exact per-stream rate differences
+        # are second-order next to the 200x variance correction)
+        noise_input_rate=200.0 if args.noise_input == "discrete" else 0.0,
     )
 
     if args.batch > 0:

@@ -121,3 +121,24 @@ def test_photorealistic_generator(tmp_path):
             R = R @ Rotation.from_rotvec(w / np.linalg.norm(w) * th).as_matrix()
     err = np.linalg.norm(p - out["poses_t"][199])
     assert err < 0.2, err
+
+
+def test_noise_input_discrete_consistency(tmp_path):
+    """--noise_input discrete: interpreting the presets as per-sample sigmas
+    (converted internally to densities) must restore filter consistency on
+    preset-injected data, where the reference's literal density reading is
+    ~200x overconfident (docs/RESULTS.md Mode B)."""
+    from msckf_tpu.runner import main
+
+    common = ["--source", "synthetic", "--max_frames", "1600",
+              "--noise_level", "mid", "--gen_noise", "preset"]
+    m_lit = main(common + ["--data_root", str(tmp_path / "a")])
+    m_dis = main(common + ["--noise_input", "discrete",
+                           "--data_root", str(tmp_path / "b")])
+    lit = m_lit.consistency_fraction()
+    dis = m_dis.consistency_fraction()
+    # the rotation envelope shows the overconfidence earliest (at full length
+    # the position gap widens to 0.53 -> 0.95; see docs/RESULTS.md)
+    assert dis[1] > lit[1] + 0.3, f"no AOE consistency gain: {lit} -> {dis}"
+    assert dis[0] > lit[0], f"ATE consistency regressed: {lit} -> {dis}"
+    assert dis[0] > 0.8 and dis[1] > 0.8, f"still overconfident: {dis}"
