@@ -112,8 +112,9 @@ def process_features(cfg: MSCKFConfig, state: FilterState) -> FilterState:
 
     The reference's ``if len(valid_features) > 0`` guard is reproduced by
     masking rather than lax.cond: with no valid features the update
-    accumulates A=0, c=0 (whose correction is the exact identity and is
-    skipped by ``ekf_update``'s any_pass cond), no tracks are deleted, and
+    accumulates A=0, c=0 — and ``apply_correction`` with zero terms is the
+    exact identity (delta = L@0 = 0, I - LA = I, Joseph form = P), so
+    ``ekf_update`` needs no branch — no tracks are deleted, and
     ``remove_cameras`` with an empty victim mask is an exact no-op
     (identity permutation). A cond here would copy the full state — the
     covariance included — at the branch boundary every frame.

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import FilterState, ImuState
+from msckf_tpu.ops.backend import pallas_interpret, use_pallas
 from msckf_tpu.ops.geometry import rodrigues_unit, skew
 from msckf_tpu.ops.precision import with_f32_matmuls
 
@@ -133,8 +134,7 @@ def _phi_q_for_tick(cfg: MSCKFConfig, imu: ImuState, gyro, acc, timestamp):
 @with_f32_matmuls
 def propagate_block(cfg: MSCKFConfig, state: FilterState,
                     ts_b, gyro_b, acc_b, valid_b):
-    if (cfg.use_pallas and cfg.use_pallas_propagation
-            and jax.default_backend() == "tpu"):
+    if use_pallas(cfg, cfg.use_pallas_propagation):
         B = ts_b.shape[0]
         # tiny blocks: the monolithic kernel's single dispatch beats the
         # hybrid's handful of batched XLA ops; longer blocks amortize them.
@@ -282,7 +282,9 @@ def _propagate_block_hybrid(cfg: MSCKFConfig, state: FilterState,
     imu_new, Phi, Qd, (R_tel, p_tel, v_tel) = _phi_q_block(
         cfg, state.imu, ts_b, gyro_b, acc_b, valid_b
     )
-    P15, Phi_acc, sig = p15_recurrence_fused(state.P[:15, :15], Phi, Qd)
+    P15, Phi_acc, sig = p15_recurrence_fused(
+        state.P[:15, :15], Phi, Qd, interpret=pallas_interpret()
+    )
     P = state.P
     P_ic = Phi_acc @ P[:15, 15:]
     P = P.at[:15, :15].set(P15)
@@ -306,6 +308,7 @@ def _propagate_block_fused(cfg: MSCKFConfig, state: FilterState,
         jnp.asarray(cfg.noise_cov_diag_np, dtype=dt_),
         jnp.asarray(cfg.gravity_np, dtype=dt_),
         state.P[:15, :15],
+        interpret=pallas_interpret(),
     )
     n_done = jnp.sum(valid_b).astype(jnp.int32)
     imu_new = imu.replace(

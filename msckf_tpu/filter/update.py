@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from msckf_tpu.config import MSCKFConfig
+from msckf_tpu.ops.backend import pallas_interpret, use_pallas
 from msckf_tpu.filter.state import OBS_KP, FilterState, TrackStore
 from msckf_tpu.filter.tracks import gather_cam_poses, resolve_cam_slots
 from msckf_tpu.ops.geometry import idp_angles_m, skew, so3_exp
@@ -98,14 +99,14 @@ def triage_features(cfg: MSCKFConfig, state: FilterState, subset: jnp.ndarray) -
     K = jnp.asarray(cfg.K_np, dtype=dt_)
     Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
 
-    if cfg.use_pallas_triage and jax.default_backend() == "tpu" and cfg.triangulation != "gn":
+    if use_pallas(cfg, cfg.use_pallas_triage) and cfg.triangulation != "gn":
         from msckf_tpu.ops.pallas_kernels import triage_refresh_fused
         from msckf_tpu.ops.smallmat import default_rcond as _rcond
 
         weights = jnp.where(tr.obs_valid, tr.score, 0.0)
         new_m, new_rho_raw, proj_ok = triage_refresh_fused(
             tr.line_base, tr.line_dir, weights, R_a, t_a, K, Kinv,
-            _rcond(dt_), cfg.width, cfg.height,
+            _rcond(dt_), cfg.width, cfg.height, interpret=pallas_interpret(),
         )
         refresh = valid & proj_ok
         new_rho = jnp.where(refresh, new_rho_raw, 1.0)
@@ -250,14 +251,14 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     crit = jnp.asarray(cfg.chi2_table_np, dtype=dt_)[dof]
     sigma2 = jnp.asarray(cfg.sigma_image**2, dtype=dt_)
 
-    if cfg.use_pallas and jax.default_backend() == "tpu":
+    if use_pallas(cfg):
         # fused kernel: nullspace projector -> chi2 gate -> masked A, c
         # accumulation in one VMEM-resident pass (ops/pallas_kernels.py)
         from msckf_tpu.ops.pallas_kernels import update_terms_fused
 
         A, c, passed = update_terms_fused(
             Hfull, Hf_stack, r_stack, state.P, crit, sel_ok,
-            cfg.sigma_image**2, default_rcond(dt_),
+            cfg.sigma_image**2, default_rcond(dt_), interpret=pallas_interpret(),
         )
         n_rej = jnp.sum(sel_ok & ~passed).astype(jnp.int32)
         return UpdateTerms(

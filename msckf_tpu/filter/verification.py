@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import CameraStates, TrackStore
 from msckf_tpu.filter.tracks import gather_cam_poses
+from msckf_tpu.ops.backend import pallas_interpret, use_pallas
 from msckf_tpu.ops.geometry import skew
 from msckf_tpu.ops.smallmat import matmul_small, matvec_small, transpose_small
 
@@ -47,14 +48,13 @@ def verify_matches(
     R1, t1, _ = gather_cam_poses(tracks.obs_cam_id, cams)  # (F, M, 3, 3), (F, M, 3)
     kp1 = tracks.kp  # (F, M, 2) historical observations
 
-    import jax
-
-    if cfg.use_pallas and jax.default_backend() == "tpu":
+    if use_pallas(cfg):
         # fused plane-algebra kernel (ops/pallas_kernels.py)
         from msckf_tpu.ops.pallas_kernels import verification_scores
 
         homo_score, epi_score, baseline = verification_scores(
-            R1, t1, kp1, kp2, cam_R, cam_t, K, Kinv
+            R1, t1, kp1, kp2, cam_R, cam_t, K, Kinv,
+            interpret=pallas_interpret(),
         )
     else:
         # T_C1_C2 = T_W_C1^-1 * T_W_C2 (`MSCKF.py:350`)

@@ -119,6 +119,13 @@ def extract_sequence_features(
         from msckf_tpu.parallel.xfeat_sharded import batched_detect_and_compute
 
         if params is None:
+            # same loud warning the runner prints — a silent random-weight
+            # CNN would make dataset runs meaningless without any signal
+            print(
+                "WARNING: extract_sequence_features called without XFeat "
+                "weights — the CNN runs with random weights; real-image "
+                "accuracy is meaningless"
+            )
             params = init_params(jax.random.key(0))
         for i in range(0, len(imgs), batch):
             chunk = imgs[i : i + batch]

@@ -210,6 +210,8 @@ def _dataset_config(args, cfg, kps, descs):
         f_max=caps["f_max"],
         k_max=caps["k_max"],
         u_max=max(caps["u_max"], 48),
+        m_max=caps["m_max"],
+        n_cam_slots=caps["n_cam_slots"],
         desc_dim=-(-dd // 8) * 8,
     )
     return dataclasses.replace(cfg, **overrides)
@@ -324,13 +326,6 @@ def main(argv=None):
 
     import jax
 
-    if args.dtype == "float64" and not jax.config.jax_enable_x64:
-        jax.config.update("jax_enable_x64", True)
-    # activate the f64 correction island (MSCKFConfig.correction_dtype) on
-    # backends with native f64
-    if jax.default_backend() == "cpu" and not jax.config.jax_enable_x64:
-        jax.config.update("jax_enable_x64", True)
-
     a_nd, g_nd, a_rw, g_rw = NOISE_PRESETS[args.noise_level]
     cfg = reference_experiment_config(
         dtype=args.dtype,
@@ -344,6 +339,19 @@ def main(argv=None):
         # are second-order next to the 200x variance correction)
         noise_input_rate=200.0 if args.noise_input == "discrete" else 0.0,
     )
+
+    # Activate the f64 correction island (MSCKFConfig.correction_dtype) on
+    # backends with native f64. NOTE: jax_enable_x64 is process-global — it
+    # changes default dtypes for any other code embedding this runner in the
+    # same process; gated on the config actually requesting the island.
+    if args.dtype == "float64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    elif (
+        cfg.correction_dtype == "float64"
+        and jax.default_backend() == "cpu"
+        and not jax.config.jax_enable_x64
+    ):
+        jax.config.update("jax_enable_x64", True)
 
     if args.batch > 0:
         return _run_batched(args, cfg)
