@@ -102,6 +102,14 @@ class MSCKFConfig:
     use_pallas: bool = True
     use_pallas_triage: bool = True
     use_pallas_propagation: bool = True
+    # EKF update-terms strategy (build_update_terms):
+    # "hybrid": stacked-row MXU matmuls in XLA + one un-tiled batched-
+    #           Cholesky gating kernel over the whole update batch (fastest
+    #           measured at full shape — the round-2 fused kernel serialized
+    #           16 U-tiles x (8 small matmuls + a 64-step Cholesky) each).
+    # "fused":  the round-2 monolithic U-tiled kernel (kept for comparison).
+    # "xla":    pure XLA (batched cholesky custom-call) — the off-TPU path.
+    update_kernel: str = "hybrid"
 
     # --- numerics ---
     dtype: str = "float32"
@@ -109,9 +117,15 @@ class MSCKFConfig:
     # covariance chain). The information form squares the Jacobian condition
     # number (A = H^T H), and on long weakly-observable sequences (e.g. the
     # "classic" preset's zero-acceleration straights) plain f32 diverges
-    # (classic, 10798 ticks: f32 588 m final ATE vs f64 7 m; f32 with this
-    # island: 11.8 m). Active when jax_enable_x64 is on and dtype is f32;
-    # the rest of the filter stays in ``dtype``.
+    # (classic, 10798 ticks: f32 588 m final ATE vs f64 7 m; f32 with the
+    # f64 island: 11.8 m). Options:
+    #   "float64":     cast the chain to f64 — needs jax_enable_x64, so
+    #                  CPU-only (this TPU has no f64 and x64 SIGABRTs
+    #                  Mosaic); silently inactive without x64.
+    #   "compensated": double-word (two-float Dekker/Knuth) f32 arithmetic
+    #                  (`ops/compensated.py`) — the TPU-native equivalent,
+    #                  ~2^-48 effective precision under plain XLA-TPU.
+    #   anything else: plain ``dtype``.
     correction_dtype: str = "float64"
 
     def __post_init__(self):

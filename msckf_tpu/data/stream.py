@@ -194,7 +194,11 @@ def suggest_capacities(cam_keypoints, max_camera_states: int = 30) -> dict:
         return ((int(x) + m - 1) // m) * m
 
     k_max = max(round_up(max_kp, 128), 128)
-    f_max = max(round_up(2 * max_kp, 128), 256)
+    # 3x per-frame keypoints: weak matching regimes (hard textures, imperfect
+    # weights) spawn most keypoints as fresh tracks that live 2-3 frames
+    # before the lost-counter reaps them; 2x overflowed on the rendered
+    # boxes fixture (2443 drops at 640)
+    f_max = max(round_up(3 * max_kp, 128), 256)
     return dict(
         k_max=k_max,
         f_max=f_max,

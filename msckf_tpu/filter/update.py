@@ -251,9 +251,11 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     crit = jnp.asarray(cfg.chi2_table_np, dtype=dt_)[dof]
     sigma2 = jnp.asarray(cfg.sigma_image**2, dtype=dt_)
 
-    if use_pallas(cfg):
-        # fused kernel: nullspace projector -> chi2 gate -> masked A, c
-        # accumulation in one VMEM-resident pass (ops/pallas_kernels.py)
+    if use_pallas(cfg) and cfg.update_kernel == "fused":
+        # round-2 monolithic kernel: nullspace projector -> chi2 gate ->
+        # masked A, c accumulation in one U-tiled VMEM pass. Kept for
+        # comparison; "hybrid" below measured ~5x faster at full shape (the
+        # tile grid serializes 16 x (8 small matmuls + a 64-step Cholesky)).
         from msckf_tpu.ops.pallas_kernels import update_terms_fused
 
         A, c, passed = update_terms_fused(
@@ -280,13 +282,24 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     Hf_H = jnp.einsum("uri,urd->uid", Hf_stack, Hfull)
     H_t = Hfull - jnp.einsum("uri,uij,ujd->urd", Hf_stack, Hpinv, Hf_H)
 
-    # chi-square gate (`MSCKF.py:561-568`), projector form (== basis form)
-    S = jnp.einsum("urd,de,use->urs", H_t, state.P, H_t) + sigma2 * jnp.eye(
+    # chi-square gate (`MSCKF.py:561-568`), projector form (== basis form).
+    # S built as two stacked-row MXU matmuls (XLA collapses (U,2M) rows into
+    # one (U*2M, D) contraction against P).
+    HP = jnp.einsum("urd,de->ure", H_t, state.P)
+    S = jnp.einsum("ure,use->urs", HP, H_t) + sigma2 * jnp.eye(
         2 * M, dtype=dt_
     )
-    Lc = jnp.linalg.cholesky(S)
-    sol = jax.scipy.linalg.cho_solve((Lc, True), r_t[..., None])[..., 0]
-    gamma = jnp.sum(r_t * sol, axis=-1)  # (U,)
+    if use_pallas(cfg) and cfg.update_kernel == "hybrid":
+        # one un-tiled vectorized-Cholesky kernel over the whole batch
+        # (batched (2M,2M) cholesky lowers to a slow serialized custom-call
+        # on TPU; ops/pallas_kernels.batched_gating_gamma)
+        from msckf_tpu.ops.pallas_kernels import batched_gating_gamma
+
+        gamma = batched_gating_gamma(S, r_t, interpret=pallas_interpret())
+    else:
+        Lc = jnp.linalg.cholesky(S)
+        sol = jax.scipy.linalg.cho_solve((Lc, True), r_t[..., None])[..., 0]
+        gamma = jnp.sum(r_t * sol, axis=-1)  # (U,)
     passed = sel_ok & (gamma <= crit)  # NaN crit (dof 0) fails, like scipy
     n_rej = jnp.sum(sel_ok & ~passed).astype(jnp.int32)
 
@@ -306,22 +319,20 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     )
 
 
-def apply_correction(cfg: MSCKFConfig, state: FilterState, A: jnp.ndarray, c: jnp.ndarray) -> FilterState:
-    """Information-form Kalman gain, Joseph covariance update, exp-map state
-    correction with SVD re-orthonormalization (`MSCKF.py:604-661`)."""
+def _correction_terms(cfg: MSCKFConfig, P, A, c):
+    """delta = L c and the Joseph-form P update, L = P B^{-1},
+    B = sigma^2 I + A P (`MSCKF.py:604-614` in information form; equivalence
+    proofs in the module docstring). f32 by default; f64 island when x64 is
+    available (CPU)."""
     dt_ = cfg.jdtype
-    D, N = cfg.err_dim, cfg.n_cam_slots
-
-    # precision island (see MSCKFConfig.correction_dtype): the solve/Joseph
-    # chain carries the squared Jacobian conditioning and is the one place
-    # f32 round-off destabilizes the filter on long sequences
+    D = cfg.err_dim
     use64 = (
         cfg.correction_dtype == "float64"
         and jax.config.jax_enable_x64
         and dt_ != jnp.dtype("float64")
     )
     ct = jnp.dtype("float64") if use64 else dt_
-    P = state.P.astype(ct)
+    P = P.astype(ct)
     A_ = A.astype(ct)
     c_ = c.astype(ct)
     sigma2 = jnp.asarray(cfg.sigma_image**2, dtype=ct)
@@ -335,6 +346,63 @@ def apply_correction(cfg: MSCKFConfig, state: FilterState, A: jnp.ndarray, c: jn
     LA_L = L @ A_ @ L.T
     P_new = ImLA @ P @ ImLA.T + sigma2 * LA_L
     P_new = (0.5 * (P_new + P_new.T)).astype(dt_)
+    return delta, P_new
+
+
+def _correction_terms_compensated(cfg: MSCKFConfig, P, A, c):
+    """Double-word f32 correction island (TPU-native f64 substitute).
+
+    Same chain as :func:`_correction_terms`, computed in Dekker/Knuth
+    two-float arithmetic (`ops/compensated.py`): B and every product carried
+    as (hi, lo) pairs, the solve by f32 LU + double-word iterative
+    refinement. Runs under Mosaic/XLA-TPU (no x64, no Mosaic kernels) and
+    matches the f64 island to ~2^-40 (pinned by
+    tests/test_compensated.py).
+    """
+    from msckf_tpu.ops import compensated as dw
+
+    D = cfg.err_dim
+    sigma2 = jnp.float32(cfg.sigma_image**2)
+    P32 = P.astype(jnp.float32)
+    A32 = A.astype(jnp.float32)
+    eye = jnp.eye(D, dtype=jnp.float32)
+
+    B = dw.df_add(dw.df_from(sigma2 * eye), dw.df_matmul(A32, P32))
+    # L = P B^{-1}: solve B^T Y = P (P symmetric), L = Y^T
+    Bt = dw.DF(B.hi.T, B.lo.T)
+    # iters=5: the refinement contracts ~30x per step on realistically
+    # conditioned (cond ~1e7) filter systems; 5 steps sit at the double-word
+    # floor (measured convergence: 5.6e-4 / 1.9e-5 / 7.7e-7 / 2.9e-8 /
+    # 8.8e-10 relative)
+    Y = dw.refined_solve(Bt, P32, iters=5)
+    L = dw.DF(Y.hi.T, Y.lo.T)
+    delta = dw.df_round(dw.df_matvec(L.hi, c.astype(jnp.float32), A_lo=L.lo))
+
+    LA = dw.df_matmul(L.hi, A32, A_lo=L.lo)
+    ImLA = dw.df_sub(dw.df_from(eye), LA)
+    ImLA_P = dw.df_matmul(ImLA.hi, P32, A_lo=ImLA.lo)
+    joseph = dw.df_matmul(
+        ImLA_P.hi, ImLA.hi.T, A_lo=ImLA_P.lo, B_lo=ImLA.lo.T
+    )
+    LALt = dw.df_matmul(LA.hi, L.hi.T, A_lo=LA.lo, B_lo=L.lo.T)
+    P_new = dw.df_round(dw.df_add(joseph, dw.df_scale(LALt, sigma2)))
+    P_new = (0.5 * (P_new + P_new.T)).astype(cfg.jdtype)
+    return delta.astype(cfg.jdtype), P_new
+
+
+def apply_correction(cfg: MSCKFConfig, state: FilterState, A: jnp.ndarray, c: jnp.ndarray) -> FilterState:
+    """Information-form Kalman gain, Joseph covariance update, exp-map state
+    correction with SVD re-orthonormalization (`MSCKF.py:604-661`)."""
+    dt_ = cfg.jdtype
+    N = cfg.n_cam_slots
+
+    # precision island (see MSCKFConfig.correction_dtype): the solve/Joseph
+    # chain carries the squared Jacobian conditioning and is the one place
+    # f32 round-off destabilizes the filter on long sequences
+    if cfg.correction_dtype == "compensated" and dt_ == jnp.dtype("float32"):
+        delta, P_new = _correction_terms_compensated(cfg, state.P, A, c)
+    else:
+        delta, P_new = _correction_terms(cfg, state.P, A, c)
 
     # --- IMU correction (`MSCKF.py:616-640`), ordering [th, bg, v, ba, p] ---
     imu = state.imu

@@ -37,14 +37,24 @@ def _load_sequence(args):
         import jax
         import jax.numpy as jnp
 
-        from msckf_tpu.data.rendered import generate_rendered_circle
+        from msckf_tpu.data.rendered import (
+            generate_rendered_boxes,
+            generate_rendered_circle,
+        )
         from msckf_tpu.models.xfeat import detect_and_compute, init_params
 
         a_nd, g_nd, a_rw, g_rw = NOISE_PRESETS[args.noise_level]
         gen_kwargs = {}
         if args.gen_noise == "preset":
             gen_kwargs = dict(sigma_acc=a_nd, sigma_gyro=g_nd)
-        seq = generate_rendered_circle(
+        # --sequence boxes: the hard fixture (oblique camera, non-trivial
+        # R_WC extrinsic, out-of-plane textured boxes); default: flat plane
+        gen = (
+            generate_rendered_boxes
+            if args.sequence == "boxes"
+            else generate_rendered_circle
+        )
+        seq = gen(
             rng=np.random.default_rng(42),
             n_ticks=min(args.max_frames, 4800), **gen_kwargs,
         )

@@ -263,16 +263,73 @@ class OracleMSCKF:
                 Wp = self._triangulate(f)
                 c0 = next(c for c in self.cams if c["id"] == f["cam_ids"][0])
                 Cp = c0["R"].T @ (Wp - c0["t"])
+                m_seed, rho_seed = f["idp_m"], f["idp_rho"]
+                refreshed = False
                 if Cp[2] > 0:
                     uv = (self.K @ Cp)[:2] / Cp[2]
                     if 0 <= uv[0] < self.cfg.width and 0 <= uv[1] < self.cfg.height:
                         W_v = c0["R"] @ (self.Kinv @ np.append(uv, 1.0))
-                        f["idp_rho"] = 1.0 / Cp[2]
-                        f["idp_m"] = _idp_m(W_v)
+                        m_seed, rho_seed = _idp_m(W_v), 1.0 / Cp[2]
+                        refreshed = True
+                if self.cfg.triangulation == "gn":
+                    # ablation path: GN refinement of the anchored IDP,
+                    # seeded by the line intersection (mirrors
+                    # ops/triangulation.refine_inverse_depth_gn — applied to
+                    # every valid track, refreshed seed or not)
+                    f["idp_m"], f["idp_rho"] = self._gn_refine(
+                        f, m_seed, rho_seed
+                    )
+                elif refreshed:
+                    f["idp_m"], f["idp_rho"] = m_seed, rho_seed
                 valid.append(fid)
                 if is_lost:
                     lost.append(fid)
         return valid, lost
+
+    def _gn_refine(self, f, m0, rho0):
+        """Gauss-Newton refinement of (theta, phi, rho) about the anchor —
+        float64 oracle for `ops/triangulation.py::refine_inverse_depth_gn`
+        (same damping, clamps, iteration count, and final re-normalization)."""
+        cam_of = {c["id"]: c for c in self.cams}
+        base = f["idp_base"]
+        theta = np.arctan2(m0[0], m0[2])
+        phi = np.arctan2(-m0[1], np.sqrt(m0[0] ** 2 + m0[2] ** 2))
+        p = np.array([theta, phi, rho0])
+        obs = [
+            (cam_of[cid], self.Kinv @ np.append(kp, 1.0))
+            for cid, kp in zip(f["cam_ids"], f["kps"])
+        ]
+        for _ in range(self.cfg.gn_iters):
+            th, ph, rho = p
+            cth, sth, cph, sph = np.cos(th), np.sin(th), np.cos(ph), np.sin(ph)
+            m = np.array([cph * sth, -sph, cph * cth])
+            dm_dth = np.array([cph * cth, 0.0, -cph * sth])
+            dm_dph = np.array([-sph * sth, -cph, -sph * cth])
+            H = 1e-6 * np.eye(3)
+            g = np.zeros(3)
+            for c, zh_full in obs:
+                z = zh_full[:2] / zh_full[2]
+                Rt = c["R"].T
+                pw = rho * (base - c["t"]) + m
+                pc = Rt @ pw
+                zc = pc[2] if abs(pc[2]) >= 1e-12 else 1e-12
+                zhat = pc[:2] / zc
+                r = z - zhat
+                inv_z = 1.0 / zc
+                Jproj = np.array(
+                    [[inv_z, 0.0, -pc[0] * inv_z * inv_z],
+                     [0.0, inv_z, -pc[1] * inv_z * inv_z]]
+                )
+                dpw = np.stack([dm_dth, dm_dph, base - c["t"]], axis=-1)
+                J = -(Jproj @ Rt @ dpw)
+                H += J.T @ J
+                g += J.T @ r
+            p = p + np.linalg.solve(H, -g)
+        th, ph, rho = p
+        m = _idp_m(
+            np.array([np.cos(ph) * np.sin(th), -np.sin(ph), np.cos(ph) * np.cos(th)])
+        )
+        return m, max(rho, 1e-8)
 
     # ------------------------------------------------------------------ update
     def _residual_jacobian(self, f):

@@ -1,0 +1,181 @@
+"""Double-word f32 arithmetic (ops/compensated.py) vs float64 NumPy.
+
+The compensated correction island is the TPU-native substitute for the
+CPU-only f64 island (VERDICT r2 #3); these tests pin (a) the error-free
+transforms, (b) double-word matmul/solve accuracy on ill-conditioned
+systems, and (c) agreement of the compensated correction chain with the f64
+island far beyond plain-f32 accuracy.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from msckf_tpu.ops import compensated as dw
+
+
+def test_two_sum_two_prod_exact():
+    rng = np.random.default_rng(0)
+    a = (rng.normal(size=4096) * 10.0 ** rng.integers(-6, 6, size=4096)).astype(
+        np.float32
+    )
+    b = (rng.normal(size=4096) * 10.0 ** rng.integers(-6, 6, size=4096)).astype(
+        np.float32
+    )
+    s = dw.two_sum(jnp.asarray(a), jnp.asarray(b))
+    # exact: hi + lo == a + b in f64 (both halves representable)
+    np.testing.assert_array_equal(
+        np.asarray(s.hi, np.float64) + np.asarray(s.lo, np.float64),
+        a.astype(np.float64) + b.astype(np.float64),
+    )
+    p = dw.two_prod(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64),
+        a.astype(np.float64) * b.astype(np.float64),
+    )
+
+
+def test_df_matmul_beats_f32_by_orders():
+    rng = np.random.default_rng(1)
+    n = 150
+    A = rng.normal(size=(n, n)).astype(np.float32)
+    B = rng.normal(size=(n, n)).astype(np.float32)
+    want = A.astype(np.float64) @ B.astype(np.float64)
+    got = dw.df_matmul(jnp.asarray(A), jnp.asarray(B))
+    err_dw = np.abs(
+        np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64) - want
+    ).max()
+    err_f32 = np.abs((A @ B).astype(np.float64) - want).max()
+    scale = np.abs(want).max()
+    assert err_dw < 1e-11 * scale, err_dw / scale
+    assert err_dw < 1e-4 * max(err_f32, 1e-30)
+
+
+def _solve_case(Bd, rng, iters=3):
+    X_true = rng.normal(size=(Bd.shape[0], 4))
+    C = (Bd @ X_true).astype(np.float32)
+    B32 = Bd.astype(np.float32)
+    B = dw.DF(jnp.asarray(B32), jnp.asarray((Bd - B32).astype(np.float32)))
+    X = dw.refined_solve(B, jnp.asarray(C), iters=iters)
+    got = np.asarray(X.hi, np.float64) + np.asarray(X.lo, np.float64)
+    want = np.linalg.solve(Bd, C.astype(np.float64))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    x32 = np.linalg.solve(B32, C)
+    rel32 = np.abs(x32.astype(np.float64) - want).max() / np.abs(want).max()
+    return rel, rel32
+
+
+def test_refined_solve_scaling_ill_conditioned():
+    """Scale-heterogeneity conditioning (the filter's dominant kind: state
+    covariances span many decades). Power-of-2 equilibration makes the
+    refined solve essentially exact regardless of the raw condition number."""
+    rng = np.random.default_rng(2)
+    n = 100
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    core = (Q * np.logspace(0, -2, n)) @ Q.T  # modest genuine cond ~1e2
+    d = 10.0 ** rng.uniform(-6, 0, size=n)
+    Bd = d[:, None] * core * d[None, :]  # raw cond up to ~1e14
+    rel, rel32 = _solve_case(Bd, rng)
+    assert rel < 1e-8, rel
+    assert rel < 1e-3 * max(rel32, 1e-30)
+
+
+def test_refined_solve_genuine_ill_conditioned():
+    """Rotation-mixed (non-scaling) conditioning ~3e4: refinement contracts
+    at ~cond * 2^-24 per step, three steps reach the double-word floor."""
+    rng = np.random.default_rng(4)
+    n = 100
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    Bd = (Q * np.logspace(0, -4.5, n)) @ Q.T
+    rel, rel32 = _solve_case(Bd, rng)
+    assert rel < 1e-8, rel
+    assert rel < 1e-2 * max(rel32, 1e-30)
+
+
+def _realistic_terms(rng, cfg):
+    """A, c, P shaped like a mid-sequence filter state: block covariance with
+    correlated camera blocks, an information matrix from ~20 feature rows."""
+    D = cfg.err_dim
+    G = rng.normal(size=(D, D)) * (10.0 ** rng.uniform(-3, 0, size=(D, 1)))
+    P = G @ G.T * 1e-4
+    H = rng.normal(size=(40, D)) * 100.0
+    A = H.T @ H
+    r = rng.normal(size=40) * 1e-2
+    c = H.T @ r
+    return (
+        jnp.asarray(P, jnp.float32),
+        jnp.asarray(A, jnp.float32),
+        jnp.asarray(c, jnp.float32),
+    )
+
+
+def test_correction_chain_matches_f64_island():
+    import dataclasses
+
+    from msckf_tpu.config import reference_experiment_config
+    from msckf_tpu.filter.update import (
+        _correction_terms,
+        _correction_terms_compensated,
+    )
+
+    cfg = reference_experiment_config(dtype="float32")
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        P, A, c = _realistic_terms(rng, cfg)
+        cfg64 = dataclasses.replace(cfg, correction_dtype="float64")
+        d64, P64 = _correction_terms(cfg64, P, A, c)  # x64 on in conftest
+        dcw, Pcw = _correction_terms_compensated(cfg, P, A, c)
+        cfg32 = dataclasses.replace(cfg, correction_dtype="float32")
+        d32, P32 = _correction_terms(cfg32, P, A, c)
+
+        # compensated must sit orders of magnitude closer to f64 than f32
+        scale_d = np.abs(np.asarray(d64)).max() + 1e-30
+        e_cw = np.abs(np.asarray(dcw) - np.asarray(d64)).max() / scale_d
+        e_32 = np.abs(np.asarray(d32) - np.asarray(d64)).max() / scale_d
+        assert e_cw < 1e-6, (trial, e_cw)
+        assert e_cw < 0.05 * max(e_32, 1e-30), (trial, e_cw, e_32)
+
+        scale_P = np.abs(np.asarray(P64)).max() + 1e-30
+        eP_cw = np.abs(np.asarray(Pcw) - np.asarray(P64)).max() / scale_P
+        eP_32 = np.abs(np.asarray(P32) - np.asarray(P64)).max() / scale_P
+        assert eP_cw < 1e-6, (trial, eP_cw)
+        assert eP_cw < 0.05 * max(eP_32, 1e-30), (trial, eP_cw, eP_32)
+
+
+def test_compensated_filter_tracks_f64_island():
+    """Short end-to-end run: the compensated island's trajectory must stay
+    within f32-roundoff distance of the f64 island's (same sequence, same
+    config otherwise)."""
+    import dataclasses
+
+    import jax
+
+    from msckf_tpu.config import reference_experiment_config
+    from msckf_tpu.data.stream import build_stream, to_device
+    from msckf_tpu.data.synthetic import generate_circle_sequence
+    from msckf_tpu.filter.msckf import make_initial_state, run_sequence
+
+    seq = generate_circle_sequence(rng=np.random.default_rng(0))
+    # small window (D = 15 + 6*12 = 87) keeps the double-word matmul chain
+    # CPU-affordable; the island is dimension-agnostic
+    base = reference_experiment_config(
+        dtype="float32", f_max=128, u_max=16, k_max=256, desc_dim=16,
+        max_camera_states=10, n_cam_slots=12, m_max=12,
+    )
+
+    outs = {}
+    for kind in ("float64", "compensated"):
+        cfg = dataclasses.replace(base, correction_dtype=kind)
+        st = build_stream(
+            cfg, seq.timestamps, seq.imu_gyro, seq.imu_acc,
+            seq.cam_frame_ticks, seq.cam_keypoints, seq.cam_descriptors,
+            seq.cam_scores, max_ticks=400,
+        )
+        std = to_device(st, cfg)
+        state = make_initial_state(cfg, std.R_init)
+        final, _, _ = jax.jit(
+            lambda s, p, f, cfg=cfg: run_sequence(cfg, s, p, f, assume_camera=True)
+        )(state, std.prefix, std.frames)
+        outs[kind] = np.asarray(final.imu.p_WI)
+
+    # identical sequence; differences only from sub-f32 round-off paths
+    assert np.linalg.norm(outs["compensated"] - outs["float64"]) < 5e-3

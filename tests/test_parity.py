@@ -104,6 +104,29 @@ def test_full_vio_parity(seq):
     assert int(final.diag.n_gating_rejected) == oracle.n_gate_rej
 
 
+def test_gn_triangulation_parity(seq):
+    """Golden-trace parity for the GN-triangulation ablation (BASELINE
+    config 4): the oracle's float64 Gauss-Newton refinement
+    (tests/oracle/numpy_msckf.py::_gn_refine) against the TPU build's
+    ``refine_inverse_depth_gn`` through the full filter loop — the same
+    parity bar as the lines path."""
+    cfg = reference_experiment_config(triangulation="gn", **CFG)
+    T = 600
+    final, out = _run_tpu(cfg, seq, T)
+    oracle, ref = run_oracle_loop(
+        cfg, seq.timestamps, seq.imu_gyro, seq.imu_acc, seq.cam_frame_ticks,
+        seq.cam_keypoints, seq.cam_descriptors, seq.cam_scores, T,
+    )
+    np.testing.assert_array_equal(out["n_cams"], ref["n_cams"])
+    np.testing.assert_array_equal(out["n_tracks"], ref["n_feats"])
+    np.testing.assert_allclose(out["p_WI"], ref["p"], atol=1e-7)
+    np.testing.assert_allclose(out["v_WI"], ref["v"], atol=1e-7)
+    np.testing.assert_allclose(out["R_WI"], ref["R"], atol=1e-7)
+    np.testing.assert_allclose(out["sigma_pos"], ref["sig_pos"], rtol=1e-4, atol=1e-16)
+    np.testing.assert_allclose(out["sigma_rot"], ref["sig_rot"], rtol=1e-4, atol=1e-16)
+    assert int(final.diag.n_gating_rejected) == oracle.n_gate_rej
+
+
 def test_vio_tracks_ground_truth(seq):
     """Sanity: the filter follows the true trajectory (loose bound)."""
     cfg = reference_experiment_config(**CFG)
