@@ -79,15 +79,47 @@ def _warped_grid(rng: np.random.Generator, size: int):
     ).astype(np.float32)
 
 
+def _rendered_scene(rng: np.random.Generator, size: int) -> np.ndarray:
+    """A ray-traced boxes-scene view (the evaluation fixtures' image
+    distribution, `data/rendered.py`): random box field, random oblique
+    camera. Returned in [0, 1]."""
+    from msckf_tpu.data.rendered import (
+        R_WC_DOWN,
+        make_boxes,
+        oblique_extrinsic,
+        render_scene_view,
+    )
+
+    boxes = make_boxes(rng, n_boxes=int(rng.integers(10, 32)))
+    ang = rng.uniform(0, 2 * np.pi)
+    radius = rng.uniform(2.0, 4.0)
+    height = rng.uniform(2.0, 4.5)
+    t = np.array([radius * np.cos(ang), radius * np.sin(ang), height])
+    cz, sz = np.cos(ang), np.sin(ang)
+    yaw = np.array([[cz, -sz, 0.0], [sz, cz, 0.0], [0.0, 0.0, 1.0]])
+    pitch = rng.uniform(0.0, 45.0)
+    R_cam = yaw @ (oblique_extrinsic(pitch) if pitch > 1.0 else R_WC_DOWN)
+    fxy = rng.uniform(120.0, 220.0)
+    K = np.array([[fxy, 0, size / 2.0], [0, fxy, size / 2.0], [0, 0, 1.0]])
+    img = render_scene_view(
+        R_cam, t, K, size, size, seed=int(rng.integers(1 << 30)), boxes=boxes
+    )
+    return img / 255.0
+
+
 def random_texture(rng: np.random.Generator, size: int) -> np.ndarray:
     """A random textured grayscale image in [0, 255]."""
-    kind = rng.integers(0, 3)
+    kind = rng.integers(0, 4)
     if kind == 0:
         img = _value_noise(rng, size)
     elif kind == 1:
         img = 0.6 * _random_shapes(rng, size) + 0.4 * _value_noise(rng, size)
-    else:
+    elif kind == 2:
         img = 0.5 * _warped_grid(rng, size) + 0.5 * _value_noise(rng, size)
+    else:
+        # ray-traced boxes scenes — the domain the full-pipeline fixtures
+        # evaluate on (round-3 texture family, VERDICT r2 #5)
+        img = _rendered_scene(rng, size)
     return (img * 255.0).astype(np.float32)
 
 

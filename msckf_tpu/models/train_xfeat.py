@@ -79,32 +79,50 @@ def pair_losses(f1, f2, kpl1, kpl2, kp1_logits, kp2_logits, rel1, H, size, temp=
     d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True).clip(1e-8)
     d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True).clip(1e-8)
 
-    # ground-truth correspondence: cell centers of img1 mapped through H
+    # ground-truth correspondence: cell centers of img1 mapped through H,
+    # supervised with SOFT bilinear targets over the 4 neighboring cells —
+    # subpixel-aware supervision (round 3): every correspondence trains
+    # (no round-to-center cutoff) and the target distribution encodes the
+    # subcell position, sharpening descriptors between cell centers.
     p1 = _cell_centers(hc, wc)
     p2 = _apply_h(H, p1)  # (n, 2) pixel coords in img2
     c2x = (p2[:, 0] - 3.5) / 8.0
     c2y = (p2[:, 1] - 3.5) / 8.0
-    tx = jnp.round(c2x).astype(jnp.int32)
-    ty = jnp.round(c2y).astype(jnp.int32)
-    # valid: inside img2 with margin, and close to a cell center (unambiguous)
-    close = (jnp.abs(c2x - tx) < 0.35) & (jnp.abs(c2y - ty) < 0.35)
-    inside = (tx >= 0) & (tx < wc) & (ty >= 0) & (ty < hc)
-    valid = close & inside
-    target = jnp.clip(ty * wc + tx, 0, n - 1)
+    x0 = jnp.floor(c2x).astype(jnp.int32)
+    y0 = jnp.floor(c2y).astype(jnp.int32)
+    fx = c2x - x0
+    fy = c2y - y0
 
-    # dual-softmax InfoNCE over all cells of the pair
     sim = (d1 @ d2.T) / temp  # (n, n)
     logp12 = jax.nn.log_softmax(sim, axis=1)
     logp21 = jax.nn.log_softmax(sim, axis=0)
-    ll = logp12[jnp.arange(n), target] + logp21[jnp.arange(n), target]
+
+    ll = jnp.zeros((n,), f1.dtype)
+    p_12 = jnp.zeros((n,), f1.dtype)
+    p_21 = jnp.zeros((n,), f1.dtype)
+    wsum = jnp.zeros((n,), f1.dtype)
+    rows = jnp.arange(n)
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        tx = x0 + dx
+        ty = y0 + dy
+        w = (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
+        ok = (tx >= 0) & (tx < wc) & (ty >= 0) & (ty < hc)
+        w = jnp.where(ok, w, 0.0)
+        t = jnp.clip(ty * wc + tx, 0, n - 1)
+        ll = ll + w * (logp12[rows, t] + logp21[rows, t])
+        p_12 = p_12 + w * jnp.exp(logp12[rows, t])
+        p_21 = p_21 + w * jnp.exp(logp21[rows, t])
+        wsum = wsum + w
+    valid = wsum > 0.5  # mostly inside img2
+    ll = ll / jnp.maximum(wsum, 1e-6)
     desc_loss = -jnp.sum(jnp.where(valid, ll, 0.0)) / jnp.maximum(
         jnp.sum(valid), 1
     )
 
     # matchability target for the reliability head (stop-gradient)
-    p_12 = jnp.exp(logp12[jnp.arange(n), target])
-    p_21 = jnp.exp(logp21[jnp.arange(n), target])
-    match_q = jax.lax.stop_gradient(p_12 * p_21)
+    match_q = jax.lax.stop_gradient(
+        (p_12 / jnp.maximum(wsum, 1e-6)) * (p_21 / jnp.maximum(wsum, 1e-6))
+    )
     rel_flat = rel1.reshape(n)
     rel_loss = jnp.sum(
         jnp.where(valid, (rel_flat - match_q) ** 2, 0.0)

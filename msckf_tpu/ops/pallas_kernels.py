@@ -65,20 +65,31 @@ def _broadcast_unbatched(axis_size, in_batched, args):
 
 
 def _gating_kernel(S_ref, r_ref, gamma_ref):
-    U, n, _ = S_ref.shape
+    U, n, _ = S_ref.shape  # U = one tile of the update batch
     A = S_ref[:]  # (U, n, n) resident in VMEM
     r = r_ref[:]  # (U, n)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (U, n), dimension=1)
     gamma = jnp.zeros((U,), dtype=S_ref.dtype)
     # right-looking Cholesky + fused forward substitution, batched across U.
-    # Static unroll over the (small, fixed) residual dimension. Full-size
-    # masked updates: uniform (U, n, n) shapes keep Mosaic layouts stable
-    # (trailing-submatrix shrinking forces per-step relayouts on TPU).
+    # Static unroll over the (small, fixed) residual dimension: Mosaic
+    # software-pipelines the unrolled straight-line code to ~3 us/call at
+    # tile 8 — rolled fori_loop forms (value- or scratch-ref-based, with or
+    # without manual partial unroll) measured 250-1000x slower (~12-20 us
+    # PER PIVOT STEP of loop/dynamic-slice overhead), so the unroll is
+    # load-bearing. Its cost is Mosaic scoped-VMEM stack (~20 MB at tile 32,
+    # over the 16 MB limit) and compile time, which bound the tile size.
+    # Full-size masked updates: uniform (U, n, n) shapes keep Mosaic layouts
+    # stable (trailing-submatrix shrinking forces per-step relayouts on TPU).
+    # The pivot column is read as the pivot ROW A[:, j, :] — equal by the
+    # symmetry the update preserves — because extracting along the minor
+    # (lane) axis forces a per-step cross-lane relayout on TPU while a
+    # sublane row extraction is near-free (measured ~30% frame cost).
     for j in range(n):
-        d = A[:, j, j]  # (U,)
+        rowj = A[:, j, :]  # (U, n) == A[:, :, j] by symmetry
+        d = rowj[:, j]  # (U,)
         inv_sqrt_d = jax.lax.rsqrt(d)
-        col = A[:, :, j] * inv_sqrt_d[:, None]  # (U, n) = L[:, :, j] for rows >= j
+        col = rowj * inv_sqrt_d[:, None]  # (U, n) = L[:, :, j] for rows >= j
         lcol = jnp.where(row >= j, col, 0.0)
         # trailing update A -= l l^T (masked column already zeroes rows < j)
         A = A - lcol[:, :, None] * lcol[:, None, :]
@@ -86,26 +97,99 @@ def _gating_kernel(S_ref, r_ref, gamma_ref):
         yj = r[:, j] * inv_sqrt_d
         r = r - jnp.where(row > j, lcol, 0.0) * yj[:, None]
         gamma = gamma + yj * yj
-    gamma_ref[:] = gamma
+    gamma_ref[:, 0] = gamma
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+# tile of the update batch per grid step (env-overridable for perf probes).
+# Grid steps carry ~12 us of in-context overhead each inside the big filter
+# scan, so bigger tiles win — but the unrolled kernel's Mosaic scoped-VMEM
+# stack grows with the tile: a (32, 64, 64) block allocates ~20 MB of stack,
+# over the default 16 MB scoped-VMEM limit (compilable only with
+# xla_tpu_scoped_vmem_limit_kib raised), and measured no faster than 16
+# in-scan once the pivot row/column reads were made sublane-extractions
+# (803.9 vs 812.8 Hz full-shape, docs/PERF.md round 3). 16 fits everywhere.
+import os as _os
+
+_GATING_TILE_ENV = _os.environ.get("MSCKF_TPU_GATING_TILE", "")
+
+
+def _gating_tile(U: int) -> int:
+    if _GATING_TILE_ENV:
+        return min(int(_GATING_TILE_ENV), U)
+    return min(16, U)
+
+
+def _gating_call(S, r, interpret, batched):
+    if batched:
+        B, U, n, _ = S.shape
+    else:
+        U, n, _ = S.shape
+    Ut = _gating_tile(U)
+    Up = -(-U // Ut) * Ut
+    if Up != U:
+        nb = int(batched)
+        pad = [(0, 0)] * nb + [(0, Up - U)]
+        # zero-pad rows: rsqrt(0) -> inf/NaN confined to the (discarded)
+        # padding batch elements (per-element independent arithmetic)
+        S = jnp.pad(S, pad + [(0, 0), (0, 0)])
+        r = jnp.pad(r, pad + [(0, 0)])
+    nt = Up // Ut
+    grid = (B, nt) if batched else (nt,)
+
+    def spec(shape, index):
+        if batched:
+            return pl.BlockSpec(
+                (None,) + shape,
+                lambda b, i, index=index: (b,) + tuple(
+                    i if x == "t" else 0 for x in index
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            shape,
+            lambda i, index=index: tuple(i if x == "t" else 0 for x in index),
+            memory_space=pltpu.VMEM,
+        )
+
+    lead = (B,) if batched else ()
+    gamma = pl.pallas_call(
+        _gating_kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct(lead + (Up, 1), S.dtype),
+        in_specs=[
+            spec((Ut, n, n), ("t", 0, 0)),
+            spec((Ut, n), ("t", 0)),
+        ],
+        out_specs=spec((Ut, 1), ("t", 0)),
+        interpret=interpret,
+    )(S, r)
+    if batched:
+        return gamma[:, :U, 0]
+    return gamma[:U, 0]
+
+
+@functools.lru_cache(maxsize=None)
+def _gating_cv(interpret: bool):
+    @custom_vmap
+    def f(S, r):
+        return _gating_call(S, r, interpret, batched=False)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = _broadcast_unbatched(axis_size, in_batched, args)
+        return _gating_call(*args, interpret, batched=True), True
+
+    return f
+
+
 def batched_gating_gamma(S: jnp.ndarray, r: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """gamma_j = r_j^T S_j^{-1} r_j for a batch of SPD systems.
 
     S: (U, n, n) SPD (sigma^2-regularized), r: (U, n). Returns (U,).
+    Grids over U-tiles of 8 (VMEM + Mosaic-compile bounded); vmap dispatches
+    to an explicit batch grid dimension.
     """
-    U, n, _ = S.shape
-    return pl.pallas_call(
-        _gating_kernel,
-        out_shape=jax.ShapeDtypeStruct((U,), S.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(S, r)
+    return _gating_cv(bool(interpret))(S, r)
 
 
 def gating_gamma_reference(S: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
@@ -230,9 +314,12 @@ def _update_terms_kernel(
     row2 = jax.lax.broadcasted_iota(jnp.int32, (U, R2), dimension=1)
     gamma = jnp.zeros((U,), dtype=dt_)
     for j in range(R2):
-        dj = Au[:, j, j]
+        # pivot row == pivot column by preserved symmetry; the row read is a
+        # cheap sublane extraction (see _gating_kernel)
+        rowj = Au[:, j, :]
+        dj = rowj[:, j]
         inv_sqrt = jax.lax.rsqrt(dj)
-        colj = Au[:, :, j] * inv_sqrt[:, None]
+        colj = rowj * inv_sqrt[:, None]
         lcol = jnp.where(row2 >= j, colj, 0.0)
         Au = Au - lcol[:, :, None] * lcol[:, None, :]
         yj = rv[:, j] * inv_sqrt

@@ -325,6 +325,14 @@ def main(argv=None):
         "noise from --noise_level (like the photorealistic generator); "
         "'default' keeps the synthetic script's fixed noise",
     )
+    ap.add_argument(
+        "--correction_dtype", default="",
+        choices=["", "float64", "compensated", "none"],
+        help="precision island for the EKF correction chain "
+        "(MSCKFConfig.correction_dtype). Default: the config default "
+        "(float64 — active only where x64 exists, i.e. CPU). 'compensated': "
+        "double-word f32 (the TPU-native island). 'none': plain dtype",
+    )
     ap.add_argument("--only_imu", action="store_true")
     ap.add_argument(
         "--batch", type=int, default=0,
@@ -348,6 +356,11 @@ def main(argv=None):
         # the reference's ~200 Hz IMU rate (exact per-stream rate differences
         # are second-order next to the 200x variance correction)
         noise_input_rate=200.0 if args.noise_input == "discrete" else 0.0,
+        **(
+            {"correction_dtype": args.correction_dtype}
+            if args.correction_dtype
+            else {}
+        ),
     )
 
     # Activate the f64 correction island (MSCKFConfig.correction_dtype) on

@@ -1,7 +1,6 @@
 """Hybrid propagation block (batched Phi/Qd + interpret-mode P-recurrence
 kernel) vs the pure-scan form — the TPU production path's parity gate."""
 
-import functools
 
 import numpy as np
 
@@ -27,19 +26,21 @@ def _block_inputs(rng, B=9, pad=2):
 
 
 def _run_both(cfg, state, ts, gyro, acc, valid):
-    import msckf_tpu.ops.pallas_kernels as pk
+    # the interpret-lane env var is the sanctioned off-TPU switch: the call
+    # site passes interpret=pallas_interpret() explicitly, which overrides
+    # any functools.partial-style monkeypatch of the kernel wrapper
+    import os
 
     ref_state, ref_outs = jax.jit(
         lambda s: _propagate_block_scan(cfg, s, ts, gyro, acc, valid)
     )(state)
-    orig = pk.p15_recurrence_fused
-    pk.p15_recurrence_fused = functools.partial(orig, interpret=True)
+    os.environ["MSCKF_TPU_PALLAS_INTERPRET"] = "1"
     try:
         hyb_state, hyb_outs = jax.jit(
             lambda s: _propagate_block_hybrid(cfg, s, ts, gyro, acc, valid)
         )(state)
     finally:
-        pk.p15_recurrence_fused = orig
+        del os.environ["MSCKF_TPU_PALLAS_INTERPRET"]
     return (ref_state, ref_outs), (hyb_state, hyb_outs)
 
 
