@@ -13,7 +13,7 @@ from jax import lax
 
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import FilterState
-from msckf_tpu.filter.tracks import compact_observations, resolve_cam_slots
+from msckf_tpu.filter.tracks import compact_observations, select_rows
 from msckf_tpu.filter.update import ekf_update, triage_features
 
 
@@ -46,28 +46,49 @@ def _remove_cameras_impl(cfg: MSCKFConfig, state: FilterState, victim: jnp.ndarr
     slot_live = jnp.arange(N) < n_new
 
     new_cams = cams.replace(
-        R=jnp.where(slot_live[:, None, None], cams.R[src], jnp.eye(3, dtype=cams.R.dtype)),
-        t=jnp.where(slot_live[:, None], cams.t[src], 0.0),
-        cam_id=jnp.where(slot_live, cams.cam_id[src], -1),
+        R=jnp.where(
+            slot_live[:, None, None],
+            select_rows(src, slot_live, cams.R),
+            jnp.eye(3, dtype=cams.R.dtype),
+        ),
+        t=jnp.where(slot_live[:, None], select_rows(src, slot_live, cams.t), 0.0),
+        cam_id=jnp.where(slot_live, select_rows(src, slot_live, cams.cam_id), -1),
         valid=slot_live,
         n=n_new,
     )
 
-    # covariance permutation: rows/cols [0:15] + 6 per kept camera, tail zeroed
-    cam_rows = (15 + 6 * src[:, None] + jnp.arange(6)[None, :]).reshape(-1)  # (6N,)
-    ix = jnp.concatenate([jnp.arange(15), cam_rows])  # (D,)
+    # covariance permutation: rows/cols [0:15] + 6 per kept camera, tail
+    # zeroed. Applied per 6-row camera BLOCK as compare+reduce
+    # (`tracks.select_rows`) on rows then columns — the (D, D) double
+    # fancy-index gather was the hottest op of the batched filter (vmapped
+    # covariance-sized gathers serialize, ~2 ms/frame each at batch 32);
+    # the block select is bit-exact.
     live_rows = jnp.concatenate(
         [jnp.ones(15, dtype=bool), jnp.repeat(slot_live, 6)]
     )
-    P = state.P[ix][:, ix]
+
+    def permute_rows(P):
+        cam = P[15:].reshape(N, 6, D)
+        cam = select_rows(src, slot_live, cam).reshape(D - 15, D)
+        return jnp.concatenate([P[:15], cam], axis=0)
+
+    P = permute_rows(permute_rows(state.P).T).T
     P = jnp.where(live_rows[:, None] & live_rows[None, :], P, 0.0)
 
     # drop observations of victim cameras from every track (`MSCKF.py:760-769`)
-    slots, found = resolve_cam_slots(state.tracks.obs_cam_id, cams.cam_id)
-    obs_is_victim = found & victim[slots]
+    obs_is_victim = _obs_in_cam_mask(state.tracks.obs_cam_id, cams.cam_id, victim)
     tracks = compact_observations(state.tracks, ~obs_is_victim)
 
     return state.replace(cams=new_cams, P=P, tracks=tracks)
+
+
+def _obs_in_cam_mask(obs_cam_id, cam_ids, cam_mask) -> jnp.ndarray:
+    """(F, M) bool: observation's camera id resolves to a slot with
+    ``cam_mask`` set. Equivalent to ``found & cam_mask[slots]`` (ids are
+    unique) but compare+any instead of a gather — the (F, M) bool gathers
+    serialized under vmap."""
+    eq = obs_cam_id[..., None] == cam_ids  # (F, M, N)
+    return jnp.any(eq & cam_mask, axis=-1)
 
 
 def _per_camera_obs_mask(state: FilterState) -> jnp.ndarray:
@@ -143,8 +164,10 @@ def prune_poorest_camera_states(cfg: MSCKFConfig, state: FilterState) -> FilterS
     victim = select_prune_victims(cfg, state)
 
     # features observing a victim camera (`MSCKF.py:726-731`)
-    slots, found = resolve_cam_slots(state.tracks.obs_cam_id, state.cams.cam_id)
-    in_victim = found & victim[slots] & state.tracks.obs_valid
+    in_victim = (
+        _obs_in_cam_mask(state.tracks.obs_cam_id, state.cams.cam_id, victim)
+        & state.tracks.obs_valid
+    )
     subset = state.tracks.valid & jnp.any(in_victim, axis=-1)
 
     tri = triage_features(cfg, state, subset)

@@ -38,7 +38,7 @@ from msckf_tpu.filter.marginalization import (
 from msckf_tpu.filter.matching import fused_descriptors, mutual_match
 from msckf_tpu.filter.propagation import propagate_block
 from msckf_tpu.filter.state import FilterState, init_state
-from msckf_tpu.filter.tracks import extend_tracks, spawn_tracks
+from msckf_tpu.filter.tracks import extend_tracks, select_rows, spawn_tracks
 from msckf_tpu.filter.update import ekf_update, triage_features
 from msckf_tpu.filter.verification import verify_matches
 from msckf_tpu.ops.precision import with_f32_matmuls
@@ -83,10 +83,16 @@ def add_camera_measurements(
     no_tracks = ~jnp.any(tr.valid)
     act = jnp.any(keep) & (m.any_match | no_tracks)
 
-    kp2 = kp[m.track_to_kp]  # (F, 2) matched keypoint per track
+    # per-track matched keypoint/descriptor/score rows by compare+reduce,
+    # not gather (`tracks.select_rows` — TPU/vmapped gathers serialize).
+    # track_to_kp rows of unmatched tracks are argmax garbage exactly as
+    # before; every consumer masks on track_matched/accept.
+    kp2 = select_rows(m.track_to_kp, True, kp)  # (F, 2)
     v = verify_matches(cfg, tr, state.cams, m.track_matched, kp2, cam_R, cam_t)
     tr = extend_tracks(
-        cfg, tr, v.accept, kp2, desc[m.track_to_kp], score[m.track_to_kp],
+        cfg, tr, v.accept, kp2,
+        select_rows(m.track_to_kp, True, desc),
+        select_rows(m.track_to_kp, True, score),
         cam_R, cam_t, cam_id,
     )
     # rejected matches (`MSCKF.py:399-401`) and unmatched tracks

@@ -168,6 +168,31 @@ def resolve_cam_slots(obs_cam_id: jnp.ndarray, cam_ids: jnp.ndarray) -> tuple[jn
     return slots, found
 
 
+def select_rows(idx: jnp.ndarray, ok, x: jnp.ndarray) -> jnp.ndarray:
+    """``x[idx]`` (rows with ``~ok`` zeroed) as broadcast-compare + masked
+    reduce instead of a gather.
+
+    TPU gathers lower to slow serialized loops, and under vmap the row
+    gathers of the update compaction measured ~2 ms/frame each (the three
+    hottest ops of the batched filter). The compare+reduce form is
+    bit-exact for every dtype — the reduce adds the one selected row to
+    zeros, with no one-hot-matmul rounding — and inf-safe (``jnp.where``,
+    never multiply-by-zero; see docs/numerics.md on inf*0 poisoning).
+
+    ``idx``: (U,) int32 row indices into ``x``'s leading axis (F).
+    ``ok``: (U,) bool or True; rows with ``ok=False`` come back zero/False.
+    """
+    F = x.shape[0]
+    oh = idx[:, None] == jnp.arange(F)  # (U, F)
+    if ok is not True:
+        oh = oh & ok[:, None]
+    mask = oh.reshape(oh.shape + (1,) * (x.ndim - 1))
+    if x.dtype == jnp.bool_:
+        return jnp.any(mask & x[None], axis=1)
+    # dtype pinned: jnp.sum would promote int32 -> int64 under x64
+    return jnp.sum(jnp.where(mask, x[None], 0), axis=1, dtype=x.dtype)
+
+
 def gather_cam_poses(obs_cam_id: jnp.ndarray, cams) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-observation camera pose lookup as a one-hot matmul.
 

@@ -41,7 +41,11 @@ import jax.numpy as jnp
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.ops.backend import pallas_interpret, use_pallas
 from msckf_tpu.filter.state import OBS_KP, FilterState, TrackStore
-from msckf_tpu.filter.tracks import gather_cam_poses, resolve_cam_slots
+from msckf_tpu.filter.tracks import (
+    gather_cam_poses,
+    resolve_cam_slots,
+    select_rows,
+)
 from msckf_tpu.ops.geometry import idp_angles_m, skew, so3_exp
 from msckf_tpu.ops.smallmat import (
     default_rcond,
@@ -183,13 +187,17 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     n_overflow = jnp.sum(valid).astype(jnp.int32) - jnp.sum(sel_ok).astype(jnp.int32)
     sel_c = jnp.clip(sel, 0, F - 1)
 
-    kp = tr.obs[sel_c][..., OBS_KP]  # (U, M, 2) — one packed gather
-    obs_cam_id = tr.obs_cam_id[sel_c]
-    obs_valid = tr.obs_valid[sel_c] & sel_ok[:, None]
-    n_obs = jnp.where(sel_ok, tr.n_obs[sel_c], 0)
-    base = tr.idp_base[sel_c]  # (U, 3)
-    m_vec = tr.idp_m[sel_c]
-    rho = tr.idp_rho[sel_c]
+    # row compaction by compare+reduce, not gather (`tracks.select_rows`):
+    # ~sel_ok rows come back zeroed, which downstream masks already handle
+    # exactly like the previous clamped-gather garbage rows (obs_valid is
+    # False there; dof 0 -> NaN crit -> gate fails)
+    kp = select_rows(sel_c, sel_ok, tr.obs)[..., OBS_KP]  # (U, M, 2)
+    obs_cam_id = select_rows(sel_c, sel_ok, tr.obs_cam_id)
+    obs_valid = select_rows(sel_c, sel_ok, tr.obs_valid)
+    n_obs = select_rows(sel_c, sel_ok, tr.n_obs)
+    base = select_rows(sel_c, sel_ok, tr.idp_base)  # (U, 3)
+    m_vec = select_rows(sel_c, sel_ok, tr.idp_m)
+    rho = select_rows(sel_c, sel_ok, tr.idp_rho)
 
     R_c, t_c, onehot_w = gather_cam_poses(obs_cam_id, cams)  # (U, M, 3, 3), (U, M, 3), (U, M, N)
     R_CW = jnp.swapaxes(R_c, -1, -2)
