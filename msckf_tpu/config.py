@@ -102,6 +102,13 @@ class MSCKFConfig:
     use_pallas: bool = True
     use_pallas_triage: bool = True
     use_pallas_propagation: bool = True
+    # correction-chain (D, D) solve strategy for the f32 island under vmap
+    # (`ops/solve.py`): "ns" = Newton-Schulz matmuls with a residual-gated
+    # whole-batch LU fallback (the LU custom call serializes across the
+    # batch — the hottest op of the batched multi-trajectory filter);
+    # "lu" = always the LU custom call. Unbatched solves always use LU.
+    batched_solver: str = "ns"
+    solver_ns_iters: int = 12
     # EKF update-terms strategy (build_update_terms):
     # "hybrid": stacked-row MXU matmuls in XLA + one un-tiled batched-
     #           Cholesky gating kernel over the whole update batch (fastest

@@ -345,9 +345,20 @@ def _correction_terms(cfg: MSCKFConfig, P, A, c):
     c_ = c.astype(ct)
     sigma2 = jnp.asarray(cfg.sigma_image**2, dtype=ct)
 
-    B = sigma2 * jnp.eye(D, dtype=ct) + A_ @ P
-    # L = P B^{-1}  (L^T = B^{-T} P since P is symmetric)
-    L = jnp.linalg.solve(B.T, P).T
+    # L = P B^{-1}: solve B^T Y = P, L = Y^T. B^T = sigma^2 I + P A exactly
+    # (A, P symmetric: the same products in the same contraction order as
+    # (A P)^T), built directly so no transpose feeds the solve.
+    Bt = sigma2 * jnp.eye(D, dtype=ct) + P @ A_
+    if ct == jnp.dtype("float32") and cfg.batched_solver == "ns":
+        # under vmap: Newton-Schulz matmuls instead of the LU custom call,
+        # which serializes across the batch (`ops/solve.py`); unbatched and
+        # non-f32 islands use LU
+        from msckf_tpu.ops.solve import gain_solve
+
+        Y = gain_solve(Bt, P, iters=cfg.solver_ns_iters)
+    else:
+        Y = jnp.linalg.solve(Bt, P)
+    L = Y.T
     delta = (L @ c_).astype(dt_)
 
     ImLA = jnp.eye(D, dtype=ct) - L @ A_

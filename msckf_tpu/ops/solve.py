@@ -1,0 +1,101 @@
+"""Correction-chain gain solve: Y = Bt^{-1} P, batched without custom calls.
+
+The plain-f32 Kalman gain L = P B^{-1} (information form of `MSCKF.py:604-607`,
+see `filter/update._correction_terms`) needs one (D, D) solve with D
+right-hand sides per camera frame. XLA lowers `jnp.linalg.solve` to a
+LAPACK-style LU custom call, which is fine for one system but (a) serializes
+across a vmap batch and (b) forces batch-minor layout relayouts at the
+custom-call boundary inside the scan — measured ~5 ms/frame-batch at batch
+32, the single hottest op of the batched multi-trajectory filter.
+
+The batched path instead runs **Newton-Schulz inversion** — pure batched MXU
+matmuls, which is exactly what vmap parallelizes for free:
+
+    X_0 = I / ||Bt||_inf,   X_{k+1} = X_k (2I - Bt X_k)
+
+B = sigma^2 I + A P with A PSD and P PSD, so B's spectrum is real and
+bounded below by sigma^2 > 0 (PA is similar to P^{1/2} A P^{1/2}), which
+makes X_0 = I/||Bt||_inf provably contractive: the eigenvalues of Bt X_0 lie
+in (0, 1], so ||I - Bt X_k|| -> 0 quadratically, reaching the f32 floor in
+~log2(cond) + 4 iterations (cond ~1.2 on oracle-captured filter systems;
+probe over 220 real updates). A final correction step Y <- Y + X (P - Bt Y)
+polishes the solution below the f32 residual floor.
+
+Robustness: a residual check gates a whole-batch LU fallback through
+`lax.cond` — on the rare frame where some system's conditioning exceeds what
+the fixed iteration count resolves, the batch pays the serialized custom
+call; every other frame runs matmuls only. (The reference never faces this
+choice: float64 NumPy `np.linalg.inv`, `MSCKF.py:604-614`.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.custom_batching import custom_vmap
+
+
+def _ns_inverse(Bt: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Batched Newton-Schulz approximate inverse of (..., D, D) Bt."""
+    D = Bt.shape[-1]
+    eye = jnp.eye(D, dtype=Bt.dtype)
+    # ||Bt||_inf per batch item; spectrum of Bt is real positive (see module
+    # docstring) so eigenvalues of Bt X_0 land in (0, 1]
+    norm = jnp.max(jnp.sum(jnp.abs(Bt), axis=-1), axis=-1)
+    X = eye / norm[..., None, None]
+    for _ in range(iters):
+        X = X @ (2.0 * eye - Bt @ X)
+    return X
+
+
+def _ns_solve(Bt: jnp.ndarray, P: jnp.ndarray, iters: int) -> jnp.ndarray:
+    X = _ns_inverse(Bt, iters)
+    Y = X @ P
+    # one polish step: err <- err * ||I - Bt X||
+    return Y + X @ (P - Bt @ Y)
+
+
+@functools.lru_cache(maxsize=None)
+def _gain_solve_cv(iters: int, rel_tol: float):
+    @custom_vmap
+    def f(Bt, P):
+        # single system: the pivoted LU custom call is fast and accurate
+        return jnp.linalg.solve(Bt, P)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        Bt, P = (
+            a if b else jnp.broadcast_to(jnp.asarray(a), (axis_size,) + jnp.asarray(a).shape)
+            for b, a in zip(in_batched, args)
+        )
+        Y = _ns_solve(Bt, P, iters)
+        # worst relative residual across the whole batch; NaN/inf -> fallback
+        res = jnp.max(jnp.abs(P - Bt @ Y)) / jnp.maximum(jnp.max(jnp.abs(P)), 1e-30)
+        ok = res < rel_tol  # NaN compares False
+        Y = lax.cond(
+            ok,
+            lambda _: Y,
+            lambda _: jnp.linalg.solve(Bt, P),
+            operand=None,
+        )
+        return Y, True
+
+    return f
+
+
+def gain_solve(
+    Bt: jnp.ndarray,
+    P: jnp.ndarray,
+    iters: int = 12,
+    rel_tol: float = 1e-4,
+) -> jnp.ndarray:
+    """Solve Bt @ Y = P (see module docstring).
+
+    Unbatched: LU. Under vmap: Newton-Schulz matmuls with a residual-gated
+    whole-batch LU fallback (`lax.cond` — a real branch: the batch axis is
+    internal to the rule, so only the chosen side executes).
+    """
+    return _gain_solve_cv(int(iters), float(rel_tol))(Bt, P)

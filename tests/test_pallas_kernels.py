@@ -1,5 +1,6 @@
 """Pallas kernel correctness (interpret mode on CPU) vs the XLA reference."""
 
+import jax
 import numpy as np
 
 import jax.numpy as jnp
