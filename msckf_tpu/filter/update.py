@@ -246,12 +246,12 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     Hx6 = jnp.where(obs_valid[..., None, None], Hx6, 0.0)
     Hf = jnp.where(obs_valid[..., None, None], Hf, 0.0)
 
-    # place 6-col blocks at their camera slots -> (U, 2M, D)
+    # camera-block placement: every Jacobian row touches EXACTLY ONE 6-col
+    # camera block (row (u,m,c) = onehot[u,m,:] (x) Hx6[u,m,c,:]), which the
+    # masked accumulation below exploits; the 15-col IMU head is zero
+    # through the whole chain (vision updates touch camera states only),
+    # so all dense work happens on the (6N,)-col camera span.
     onehot = onehot_w * obs_valid[..., None]  # (U, M, N)
-    Hcam = (onehot[:, :, None, :, None] * Hx6[:, :, :, None, :])  # (U, M, 2, N, 6)
-    Hcam = Hcam.reshape(U, M, 2, N * 6)
-    Hfull = jnp.concatenate([jnp.zeros((U, M, 2, 15), dtype=dt_), Hcam], axis=-1)
-    Hfull = Hfull.reshape(U, 2 * M, D)
     Hf_stack = Hf.reshape(U, 2 * M, 3)
     r_stack = r.reshape(U, 2 * M)
 
@@ -265,6 +265,12 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
         # comparison; "hybrid" below measured ~5x faster at full shape (the
         # tile grid serializes 16 x (8 small matmuls + a 64-step Cholesky)).
         from msckf_tpu.ops.pallas_kernels import update_terms_fused
+
+        Hcam = (onehot[:, :, None, :, None] * Hx6[:, :, :, None, :])
+        Hcam = Hcam.reshape(U, M, 2, N * 6)
+        Hfull = jnp.concatenate(
+            [jnp.zeros((U, M, 2, 15), dtype=dt_), Hcam], axis=-1
+        ).reshape(U, 2 * M, D)
 
         A, c, passed = update_terms_fused(
             Hfull, Hf_stack, r_stack, state.P, crit, sel_ok,
@@ -287,13 +293,21 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     # r~ = r - Hf pinv (Hf^T r); H~ = H - Hf pinv (Hf^T H)
     Hf_r = jnp.einsum("uri,ur->ui", Hf_stack, r_stack)
     r_t = r_stack - jnp.einsum("uri,uij,uj->ur", Hf_stack, Hpinv, Hf_r)
-    Hf_H = jnp.einsum("uri,urd->uid", Hf_stack, Hfull)
-    H_t = Hfull - jnp.einsum("uri,uij,ujd->urd", Hf_stack, Hpinv, Hf_H)
+    # Hf^T Hcam without the dense product: contract per-obs first (the block
+    # structure keeps this (U, 3, M, 6)-small), then place by camera slot
+    t1 = jnp.einsum("umci,umcj->uimj", Hf, Hx6)
+    Wc = jnp.einsum("uimj,umn->uinj", t1, onehot).reshape(U, 3, N * 6)
+    Kc = jnp.einsum("uik,ukd->uid", Hpinv, Wc)  # (U, 3, 6N)
+    # dense projected Jacobian over the camera span only (gating needs it)
+    Hcam = (onehot[:, :, None, :, None] * Hx6[:, :, :, None, :]).reshape(
+        U, 2 * M, N * 6
+    )
+    H_t = Hcam - jnp.einsum("uri,uid->urd", Hf_stack, Kc)  # (U, 2M, 6N)
 
     # chi-square gate (`MSCKF.py:561-568`), projector form (== basis form).
     # S built as two stacked-row MXU matmuls (XLA collapses (U,2M) rows into
-    # one (U*2M, D) contraction against P).
-    HP = jnp.einsum("urd,de->ure", H_t, state.P)
+    # one (U*2M, 6N) contraction against the camera block of P).
+    HP = jnp.einsum("urd,de->ure", H_t, state.P[15:, 15:])
     S = jnp.einsum("ure,use->urs", HP, H_t) + sigma2 * jnp.eye(
         2 * M, dtype=dt_
     )
@@ -311,13 +325,38 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     passed = sel_ok & (gamma <= crit)  # NaN crit (dof 0) fails, like scipy
     n_rej = jnp.sum(sel_ok & ~passed).astype(jnp.int32)
 
-    # where-mask (not multiply-mask): a rejected degenerate track can carry
-    # inf Jacobians (1/z^2 blow-ups the reference also produces, `Camera.py:57`),
-    # and inf * 0 would poison the accumulation with NaN.
-    H_w = jnp.where(passed[:, None, None], H_t, 0.0)
-    r_w = jnp.where(passed[:, None], r_t, 0.0)
-    A = jnp.einsum("urd,ure->de", H_w, H_w)
-    c = jnp.einsum("urd,ur->d", H_w, r_w)
+    # Masked information accumulation A = sum H~^T H~, c = sum H~^T r~ over
+    # gated tracks, WITHOUT materializing masked (U, 2M, D) tensors: expand
+    # H~ = Hcam - F K. Hcam^T Hcam is 6x6 block-DIAGONAL (each row touches
+    # one camera block), the cross terms are rank-3 per track (W = F^T Hcam,
+    # G = F^T F), so everything reduces to small einsums plus one block-diag
+    # placement. where-masks (not multiply) on the per-track factors keep
+    # rejected tracks' inf Jacobians (1/z^2 blow-ups the reference also
+    # produces, `Camera.py:57`) out of the sums.
+    pm = passed[:, None, None]
+    t2 = jnp.einsum("umcj,umck->umjk", Hx6, Hx6)  # (U, M, 6, 6)
+    t2 = jnp.where(passed[:, None, None, None], t2, 0.0)
+    blocks = jnp.einsum("umjk,umn->njk", t2, onehot)  # (N, 6, 6)
+    A_bd = jnp.einsum(
+        "njk,nm->njmk", blocks, jnp.eye(N, dtype=dt_)
+    ).reshape(N * 6, N * 6)
+    Wm = jnp.where(pm, Wc, 0.0)
+    Gm = jnp.where(pm, HtH, 0.0)
+    T_wk = jnp.einsum("uid,uie->de", Wm, Kc)  # sum W^T K
+    GK = jnp.einsum("uij,ujd->uid", Gm, Kc)
+    T_kgk = jnp.einsum("uid,uie->de", Kc, GK)  # sum K^T G K (mask via Gm)
+    A_cam = A_bd - T_wk - T_wk.T + T_kgk
+
+    rt2 = r_t.reshape(U, M, 2)
+    t3 = jnp.einsum("umcj,umc->umj", Hx6, rt2)  # (U, M, 6)
+    t3 = jnp.where(pm, t3, 0.0)
+    c_blocks = jnp.einsum("umj,umn->nj", t3, onehot)  # (N, 6)
+    Fr = jnp.einsum("uri,ur->ui", Hf_stack, r_t)  # (U, 3)
+    Frm = jnp.where(passed[:, None], Fr, 0.0)
+    c_cam = c_blocks.reshape(N * 6) - jnp.einsum("uid,ui->d", Kc, Frm)
+
+    A = jnp.pad(A_cam, ((15, 0), (15, 0)))
+    c = jnp.pad(c_cam, (15, 0))
     return UpdateTerms(
         A=A,
         c=c,

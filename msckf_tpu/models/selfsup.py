@@ -200,18 +200,62 @@ def shi_tomasi_response(img: np.ndarray) -> np.ndarray:
     return 0.5 * tr - det_rad  # lambda_min
 
 
-def corner_labels(img: np.ndarray, thresh: float = 0.01) -> np.ndarray:
-    """Per-8x8-cell teacher label: dominant corner position 0..63 or the
-    dustbin 64 when no corner exceeds ``thresh`` (ALIKE-distillation analog,
-    matching the keypoint head's 65-way layout)."""
-    r = shi_tomasi_response(img)
-    size = img.shape[0]
+def labels_from_response(r: np.ndarray, thresh: float = 0.01) -> np.ndarray:
+    """Per-8x8-cell teacher label from a corner response map: dominant
+    position 0..63 or the dustbin 64 when nothing exceeds ``thresh``
+    (matching the keypoint head's 65-way layout)."""
+    size = r.shape[0]
     hc = size // 8
     cells = r[: hc * 8, : hc * 8].reshape(hc, 8, hc, 8).transpose(0, 2, 1, 3)
     cells = cells.reshape(hc, hc, 64)
     best = np.argmax(cells, axis=-1)
     has = np.max(cells, axis=-1) > thresh
     return np.where(has, best, 64).astype(np.int32)
+
+
+def corner_labels(img: np.ndarray, thresh: float = 0.01) -> np.ndarray:
+    """Per-8x8-cell teacher label: dominant corner position 0..63 or the
+    dustbin 64 when no corner exceeds ``thresh`` (ALIKE-distillation analog,
+    matching the keypoint head's 65-way layout)."""
+    return labels_from_response(shi_tomasi_response(img), thresh)
+
+
+def joint_corner_labels(
+    base: np.ndarray, warped: np.ndarray, H: np.ndarray, thresh: float = 0.01
+) -> tuple[np.ndarray, np.ndarray]:
+    """H-consistent teacher labels for a homography pair.
+
+    Independent per-image Shi-Tomasi labels teach the keypoint head
+    *inconsistent* detections across the warp — measured as the round-3
+    front-end bottleneck (only ~40% of projected keypoints had a detection
+    within 3 px; median match error ~3 px). The SuperPoint "homographic
+    adaptation" analog: warp each image's response into the other frame and
+    label from the geometric mean, so the teacher only fires on corners that
+    survive the warp, at positions that agree through H by construction.
+    """
+    from scipy.ndimage import maximum_filter
+
+    r1 = np.maximum(shi_tomasi_response(base), 0.0)
+    r2 = np.maximum(shi_tomasi_response(warped), 0.0)
+    r2_in1 = warp_image(r2, np.linalg.inv(H))  # out(p1) = r2(H p1)
+    r1_in2 = warp_image(r1, H)  # out(p2) = r1(H^-1 p2)
+    c1 = np.sqrt(r1 * r2_in1)
+    c2 = np.sqrt(r2 * r1_in2)
+
+    def nms_labels(c):
+        # keep only 5x5 NMS peaks before the per-cell argmax: cell-argmax on
+        # the raw (box-smoothed, plateau-prone) response drifts under the
+        # warp, NMS peaks are warp-stable (measured teacher consistency
+        # 0.63 independent -> 0.71 joint -> ~0.87 joint+NMS @2px). Adaptive
+        # threshold keeps weak-texture scenes from going all-dustbin.
+        peaks = (c >= maximum_filter(c, size=5)) & (c > 0)
+        masked = np.where(peaks, c, -np.inf)
+        thr = thresh
+        if np.sum(masked > thr) < 30:
+            thr = 0.25 * float(c.max()) if c.max() > 0 else thresh
+        return labels_from_response(masked, thr)
+
+    return nms_labels(c1), nms_labels(c2)
 
 
 # ------------------------------------------------------------------- batches
@@ -237,8 +281,9 @@ def make_batch(rng: np.random.Generator, batch: int, size: int = 256,
         i1.append(base)
         i2.append(jit2)
         Hs.append(H.astype(np.float32))
-        l1.append(corner_labels(base))
-        l2.append(corner_labels(warped))  # labels from the clean warp
+        la, lb = joint_corner_labels(base, warped, H)  # H-consistent teacher
+        l1.append(la)
+        l2.append(lb)
     return WarpBatch(
         img1=np.stack(i1), img2=np.stack(i2), H=np.stack(Hs),
         kp_labels1=np.stack(l1), kp_labels2=np.stack(l2),

@@ -233,13 +233,11 @@ class PairPool:
     dominate the TPU step time)."""
 
     def __init__(self, rng: np.random.Generator, n_pairs: int, size: int):
-        from msckf_tpu.models.selfsup import (
-            corner_labels, photometric_jitter, random_homography,
-            random_texture, warp_image,
-        )
+        from msckf_tpu.models.selfsup import photometric_jitter
 
         self._jitter = photometric_jitter
         self.rng = rng
+        self.size = size
         self.img1 = np.empty((n_pairs, size, size), np.float32)
         self.img2c = np.empty((n_pairs, size, size), np.float32)  # clean warp
         self.H = np.empty((n_pairs, 3, 3), np.float32)
@@ -247,14 +245,28 @@ class PairPool:
         self.l1 = np.empty((n_pairs, hc, hc), np.int32)
         self.l2 = np.empty((n_pairs, hc, hc), np.int32)
         for i in range(n_pairs):
-            base = random_texture(rng, size)
-            H = random_homography(rng, size)
-            warped = warp_image(base, H)
-            self.img1[i] = base
-            self.img2c[i] = warped
-            self.H[i] = H
-            self.l1[i] = corner_labels(base)
-            self.l2[i] = corner_labels(warped)
+            self._generate(i)
+
+    def _generate(self, i: int):
+        from msckf_tpu.models.selfsup import (
+            joint_corner_labels, random_homography, random_texture, warp_image,
+        )
+
+        base = random_texture(self.rng, self.size)
+        H = random_homography(self.rng, self.size)
+        warped = warp_image(base, H)
+        self.img1[i] = base
+        self.img2c[i] = warped
+        self.H[i] = H
+        # H-consistent teacher labels (selfsup.joint_corner_labels) — the
+        # round-3 repeatability fix
+        self.l1[i], self.l2[i] = joint_corner_labels(base, warped, H)
+
+    def refresh(self, n: int):
+        """Regenerate ``n`` random pool entries (keeps the scene distribution
+        fresh over a long run instead of overfitting the initial pool)."""
+        for i in self.rng.integers(0, len(self.img1), n):
+            self._generate(int(i))
 
     def draw(self, batch: int):
         idx = self.rng.integers(0, len(self.img1), batch)
@@ -263,7 +275,14 @@ class PairPool:
 
 
 def train(steps=2000, batch=8, size=256, lr=1e-3, seed=0, out=None,
-          log_every=50, init_variables=None, pool_pairs=400):
+          log_every=50, init_variables=None, pool_pairs=400,
+          refresh_every=50, refresh_n=8, eval_every=0):
+    """``refresh_every``/``refresh_n``: regenerate refresh_n pool scenes
+    every refresh_every steps (full pool turnover every
+    pool_pairs/refresh_n * refresh_every steps) so long runs never overfit
+    the initial scene draw. ``eval_every`` > 0: run the hard-distribution
+    match-precision eval periodically and keep the BEST checkpoint (saved to
+    ``out``) instead of the last."""
     import optax
 
     rng = np.random.default_rng(seed)
@@ -286,6 +305,18 @@ def train(steps=2000, batch=8, size=256, lr=1e-3, seed=0, out=None,
     pool = PairPool(rng, pool_pairs, size)
     print(f"pair pool ({pool_pairs}): {time.perf_counter() - t0:.0f}s", flush=True)
 
+    best = (-1.0, None)
+    eval_rng_seed = 999
+
+    def hard_eval(variables):
+        p_hard, n_hard = match_accuracy(
+            variables, np.random.default_rng(eval_rng_seed), hard=True
+        )
+        p_mild, _ = match_accuracy(
+            variables, np.random.default_rng(eval_rng_seed), hard=False
+        )
+        return p_hard, p_mild, n_hard
+
     t0 = time.perf_counter()
     for i in range(steps):
         i1, i2, Hs, l1, l2 = pool.draw(batch)
@@ -294,6 +325,8 @@ def train(steps=2000, batch=8, size=256, lr=1e-3, seed=0, out=None,
             jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(Hs),
             jnp.asarray(l1), jnp.asarray(l2),
         )
+        if refresh_every and i % refresh_every == refresh_every - 1:
+            pool.refresh(refresh_n)
         if i % log_every == 0 or i == steps - 1:
             a = jax.device_get(aux)
             print(
@@ -302,7 +335,24 @@ def train(steps=2000, batch=8, size=256, lr=1e-3, seed=0, out=None,
                 f"({time.perf_counter() - t0:.0f}s)",
                 flush=True,
             )
+        if eval_every and (i % eval_every == eval_every - 1 or i == steps - 1):
+            variables = {"params": params, "batch_stats": batch_stats}
+            ph, pm, nh = hard_eval(variables)
+            marker = ""
+            if ph > best[0]:
+                best = (ph, jax.device_get(variables))
+                marker = "  <- best"
+                if out:
+                    save_npz_params(out, best[1])
+            print(
+                f"eval @ step {i}: hard {ph:.3f} mild {pm:.3f} "
+                f"({nh:.0f} m/p){marker}",
+                flush=True,
+            )
     variables = {"params": params, "batch_stats": batch_stats}
+    if eval_every and best[1] is not None:
+        print(f"best hard-eval {best[0]:.3f} (checkpoint kept)")
+        variables = best[1]
     if out:
         save_npz_params(out, variables)
         print(f"weights saved to {out}")
@@ -320,6 +370,9 @@ def main(argv=None):
     ap.add_argument("--pool", type=int, default=400)
     ap.add_argument("--resume", default="", help="npz checkpoint to continue from")
     ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="periodic hard-eval cadence; keeps the best checkpoint")
+    ap.add_argument("--refresh_every", type=int, default=50)
     args = ap.parse_args(argv)
 
     import os
@@ -329,7 +382,8 @@ def main(argv=None):
     variables = train(
         steps=args.steps, batch=args.batch, size=args.size, lr=args.lr,
         seed=args.seed, out=args.out, pool_pairs=args.pool,
-        init_variables=init,
+        init_variables=init, eval_every=args.eval_every,
+        refresh_every=args.refresh_every,
     )
     if args.eval:
         prec, nm = match_accuracy(variables, np.random.default_rng(999))

@@ -168,6 +168,51 @@ def _gating_call(S, r, interpret, batched):
     return gamma[:U, 0]
 
 
+def blocked_gamma_xla(S: jnp.ndarray, r: jnp.ndarray, nb: int = 8) -> jnp.ndarray:
+    """gamma = r^T S^{-1} r by panel-blocked Cholesky in plain XLA.
+
+    The batched form of the gating statistic: the Mosaic gating kernel
+    serializes one U-tile per grid step (64 grid steps at batch 32 x 2
+    U-tiles, ~1.8 ms/frame — VMEM-bandwidth-bound: rank-1 right-looking
+    Cholesky makes n passes over the n^2 trailing matrix). This version
+    (a) flattens every leading axis into one big batch that XLA keeps fully
+    data-parallel, and (b) blocks the factorization into nb-column panels so
+    the trailing matrix is touched n/nb times via one batched MXU product
+    per panel instead of n times. Forward substitution is fused into the
+    panel pass exactly like the kernel. NaN/rsqrt(0) semantics match the
+    kernel: degenerate rows poison gamma, which the gate treats as "fail".
+    """
+    n = S.shape[-1]
+    lead = S.shape[:-2]
+    A = S.reshape((-1, n, n))
+    yrem = r.reshape((-1, n))
+    gamma = jnp.zeros(A.shape[:1], S.dtype)
+    for k0 in range(0, n, nb):
+        w = min(nb, n - k0)
+        m = n - k0  # remaining rows
+        panel = A[:, :, :w]  # (BU, m, w) — panel columns, all remaining rows
+        rows = jnp.arange(m)
+        Lcols = []
+        for j in range(w):
+            d = jax.lax.rsqrt(panel[:, j, j])  # (BU,)
+            col = jnp.where(rows >= j, panel[:, :, j] * d[:, None], 0.0)
+            Lcols.append(col)
+            # eliminate from the remaining panel columns
+            cols = jnp.arange(w)
+            panel = panel - jnp.where(
+                cols[None, None, :] > j, col[:, :, None] * col[:, None, :w], 0.0
+            )
+            # fused forward substitution: y_j = r_j / L[j,j]; r -= L[:,j] y_j
+            yj = yrem[:, j] * d
+            yrem = yrem - jnp.where(rows > j, col, 0.0) * yj[:, None]
+            gamma = gamma + yj * yj
+        if k0 + w < n:
+            L21 = jnp.stack([c[:, w:] for c in Lcols], axis=-1)  # (BU, m-w, w)
+            A = A[:, w:, w:] - jnp.einsum("bik,bjk->bij", L21, L21)
+            yrem = yrem[:, w:]
+    return gamma.reshape(lead)
+
+
 @functools.lru_cache(maxsize=None)
 def _gating_cv(interpret: bool):
     @custom_vmap
@@ -176,8 +221,10 @@ def _gating_cv(interpret: bool):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, *args):
-        args = _broadcast_unbatched(axis_size, in_batched, args)
-        return _gating_call(*args, interpret, batched=True), True
+        S, r = _broadcast_unbatched(axis_size, in_batched, args)
+        # batched: plain-XLA blocked Cholesky beats the grid-serialized
+        # kernel (see blocked_gamma_xla docstring)
+        return blocked_gamma_xla(S, r), True
 
     return f
 
@@ -186,8 +233,9 @@ def batched_gating_gamma(S: jnp.ndarray, r: jnp.ndarray, interpret: bool = False
     """gamma_j = r_j^T S_j^{-1} r_j for a batch of SPD systems.
 
     S: (U, n, n) SPD (sigma^2-regularized), r: (U, n). Returns (U,).
-    Grids over U-tiles of 8 (VMEM + Mosaic-compile bounded); vmap dispatches
-    to an explicit batch grid dimension.
+    Grids over U-tiles of 16 (VMEM + Mosaic-compile bounded); vmap
+    dispatches to the plain-XLA blocked-Cholesky form (`blocked_gamma_xla`),
+    which stays fully data-parallel across the batch.
     """
     return _gating_cv(bool(interpret))(S, r)
 
