@@ -36,13 +36,17 @@ def state_augmentation(cfg: MSCKFConfig, state: FilterState) -> FilterState:
     R_WC = imu.R_WI @ R_IC
     t_WC = imu.R_WI @ t_IC + imu.p_WI
 
+    # one-hot masked writes, not .at[n].set: under vmap a batch-varying
+    # index write lowers to a serialized scatter/while (measured ~0.37
+    # ms/frame across the three augmentation writes at batch 32)
     n = state.cams.n
     cams = state.cams
+    slot = jnp.arange(cfg.n_cam_slots) == n  # (N,)
     cams = cams.replace(
-        R=lax.dynamic_update_index_in_dim(cams.R, R_WC, n, 0),
-        t=lax.dynamic_update_index_in_dim(cams.t, t_WC, n, 0),
-        cam_id=cams.cam_id.at[n].set(imu.step_id),
-        valid=cams.valid.at[n].set(True),
+        R=jnp.where(slot[:, None, None], R_WC[None], cams.R),
+        t=jnp.where(slot[:, None], t_WC[None], cams.t),
+        cam_id=jnp.where(slot, imu.step_id, cams.cam_id),
+        valid=cams.valid | slot,
         n=n + 1,
     )
 
@@ -57,11 +61,18 @@ def state_augmentation(cfg: MSCKFConfig, state: FilterState) -> FilterState:
     # new diagonal block: J P J^T
     new_diag = new_row[:, 0:3] @ J_theta.T + new_row[:, 12:15] @ J_p.T  # (6, 6)
 
+    # rank-6 placement by one-hot matmul + where (exact: single 1.0 per
+    # row), not dynamic_update_slice — batch-varying slice starts serialize
+    # under vmap (see the camera-slot write above)
     r0 = (15 + 6 * n).astype(jnp.int32)  # start row of the new camera block
-    zero = jnp.zeros((), dtype=jnp.int32)
-    P = lax.dynamic_update_slice(P, new_row, (r0, zero))
-    P = lax.dynamic_update_slice(P, new_row.T, (zero, r0))
-    P = lax.dynamic_update_slice(P, new_diag, (r0, r0))
+    rows = jnp.arange(D)
+    rowmask = (rows >= r0) & (rows < r0 + 6)  # (D,)
+    E = (rows[:, None] == r0 + jnp.arange(6)[None, :]).astype(dt_)  # (D, 6)
+    placed = E @ new_row  # (D, D): new_row at rows r0..r0+5, zero elsewhere
+    P = jnp.where(rowmask[:, None], placed, P)
+    P = jnp.where(rowmask[None, :], placed.T, P)
+    placed_diag = E @ new_diag @ E.T
+    P = jnp.where(rowmask[:, None] & rowmask[None, :], placed_diag, P)
     P = 0.5 * (P + P.T)  # `MSCKF.py:265`
 
     return state.replace(cams=cams, P=P)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.ops.backend import pallas_interpret, use_pallas
-from msckf_tpu.filter.state import OBS_KP, FilterState, TrackStore
+from msckf_tpu.filter.state import OBS_CAM_ID, OBS_KP, FilterState, TrackStore
 from msckf_tpu.filter.tracks import (
     gather_cam_poses,
     resolve_cam_slots,
@@ -187,14 +187,21 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     n_overflow = jnp.sum(valid).astype(jnp.int32) - jnp.sum(sel_ok).astype(jnp.int32)
     sel_c = jnp.clip(sel, 0, F - 1)
 
-    # row compaction by compare+reduce, not gather (`tracks.select_rows`):
+    # row compaction without gathers (TPU/vmapped gathers serialize);
     # ~sel_ok rows come back zeroed, which downstream masks already handle
     # exactly like the previous clamped-gather garbage rows (obs_valid is
-    # False there; dof 0 -> NaN crit -> gate fails)
-    kp = select_rows(sel_c, sel_ok, tr.obs)[..., OBS_KP]  # (U, M, 2)
-    obs_cam_id = select_rows(sel_c, sel_ok, tr.obs_cam_id)
-    obs_valid = select_rows(sel_c, sel_ok, tr.obs_valid)
+    # False there; dof 0 -> NaN crit -> gate fails).
+    # The big packed-obs block moves as ONE one-hot MXU matmul — exact
+    # (single 1.0 per row, no accumulation) and safe because obs channels
+    # are raw finite measurements; the small idp fields keep the
+    # where+reduce form (`tracks.select_rows`), which stays inf-safe for
+    # degenerate triangulations.
+    oh_sel = ((sel_c[:, None] == jnp.arange(F)) & sel_ok[:, None]).astype(dt_)
+    obs_sel = jnp.einsum("uf,fmc->umc", oh_sel, tr.obs)  # (U, M, C)
+    kp = obs_sel[..., OBS_KP]  # (U, M, 2)
+    obs_cam_id = obs_sel[..., OBS_CAM_ID].astype(jnp.int32)
     n_obs = select_rows(sel_c, sel_ok, tr.n_obs)
+    obs_valid = jnp.arange(M)[None, :] < n_obs[:, None]  # front-packed
     base = select_rows(sel_c, sel_ok, tr.idp_base)  # (U, 3)
     m_vec = select_rows(sel_c, sel_ok, tr.idp_m)
     rho = select_rows(sel_c, sel_ok, tr.idp_rho)
