@@ -146,9 +146,12 @@ def select_prune_victims(cfg: MSCKFConfig, state: FilterState) -> jnp.ndarray:
     key = jnp.where(eligible, counts * N + enc_rank, BIG)
     order = jnp.argsort(key)
     n_victims = jnp.minimum(jnp.sum(eligible), 2)
-    return jnp.zeros(N, dtype=bool).at[order[:2]].set(
-        jnp.arange(2) < n_victims, mode="drop"
-    )
+    # compare+reduce instead of .at[order[:2]].set — batch-varying scatters
+    # serialize under vmap on TPU (order[:2] itself is a static slice)
+    sel = (jnp.arange(2) < n_victims)[:, None] & (
+        order[:2, None] == jnp.arange(N)
+    )  # (2, N)
+    return jnp.any(sel, axis=0)
 
 
 def prune_poorest_camera_states(cfg: MSCKFConfig, state: FilterState) -> FilterState:

@@ -59,19 +59,20 @@ def mutual_match(
     best12 = jnp.max(sim, axis=1)  # (F,)
     match21 = jnp.argmax(sim, axis=0)  # (K,)
 
-    mutual = match21[match12] == jnp.arange(desc1.shape[0])
+    # one-hot compare+reduce forms of match21[match12], valid2[match12] and
+    # the kp_matched scatter — batch-varying gathers/scatters serialize
+    # under vmap on TPU; eq12 has exactly one True per row (argmax in range)
+    F, K = desc1.shape[0], desc2.shape[0]
+    eq12 = match12[:, None] == jnp.arange(K)  # (F, K)
+    mutual = jnp.any(eq12 & (match21[None, :] == jnp.arange(F)[:, None]), axis=1)
     if min_cossim > 0:  # upstream skips the similarity gate when <= 0
         good = best12 > jnp.asarray(min_cossim, dtype=desc1.dtype)
     else:
         good = jnp.ones_like(mutual)
-    track_matched = valid1 & mutual & good & valid2[match12]
+    track_matched = valid1 & mutual & good & jnp.any(eq12 & valid2[None, :], axis=1)
 
-    # keypoints consumed: scatter matched tracks' kp indices
-    kp_matched = (
-        jnp.zeros(desc2.shape[0], dtype=bool)
-        .at[jnp.where(track_matched, match12, desc2.shape[0])]
-        .set(True, mode="drop")
-    )
+    # keypoints consumed by matched tracks
+    kp_matched = jnp.any(eq12 & track_matched[:, None], axis=0)
     return MatchResult(
         track_matched=track_matched,
         track_to_kp=match12.astype(jnp.int32),

@@ -65,24 +65,38 @@ def spawn_tracks(
         cam_id=cam_id.astype(dt_),
     )  # (K, C)
 
-    at = lambda a: a.at[slot]
-    drop = dict(mode="drop")
+    # one-hot placement, not .at[slot]: batch-varying index scatters
+    # serialize under vmap on TPU (same rationale as select_rows). Slots are
+    # unique and slot==F (non-spawner/overflow) matches no column, so every
+    # output row receives at most one term — the placements are exact.
+    eq = slot[:, None] == jnp.arange(F)  # (K, F)
+    written = jnp.any(eq, axis=0)  # (F,)
+    W = eq.astype(dt_)
+    # obs0 and idp_angles_m outputs are raw finite values (measurements /
+    # cos-sin terms), so the big placements can ride the MXU as matmuls;
+    # track_id stays an integer masked reduce (exact at any magnitude)
+    placed_obs0 = jnp.einsum("kf,kc->fc", W, obs0)  # (F, C)
+    placed_m = jnp.einsum("kf,kc->fc", W, idp_angles_m(W_v))  # (F, 3)
+    new_ids = (next_track_id + 1 + rank).astype(jnp.int32)
+    placed_id = jnp.sum(
+        jnp.where(eq, new_ids[:, None], 0), axis=0, dtype=jnp.int32
+    )
     tracks = tr.replace(
         # only row 0 is written: recycled slots keep stale rows beyond
         # n_obs=1, which the front-packed obs_valid invariant masks out
         # everywhere (writing the whole (K, M, C) block was the larger of
         # the two spawn scatters in the device profile)
-        obs=tr.obs.at[slot, 0].set(obs0, **drop),
-        n_obs=at(tr.n_obs).set(jnp.ones((K,), jnp.int32), **drop),
-        idp_base=at(tr.idp_base).set(jnp.broadcast_to(cam_t, (K, 3)), **drop),
-        idp_m=at(tr.idp_m).set(idp_angles_m(W_v), **drop),
-        idp_rho=at(tr.idp_rho).set(jnp.full((K,), 0.1, dt_), **drop),
-        tracked=at(tr.tracked).set(jnp.ones((K,), jnp.int32), **drop),
-        lost=at(tr.lost).set(jnp.zeros((K,), jnp.int32), **drop),
-        valid=at(tr.valid).set(jnp.ones((K,), bool), **drop),
-        track_id=at(tr.track_id).set(
-            (next_track_id + 1 + rank).astype(jnp.int32), **drop
+        obs=tr.obs.at[:, 0].set(
+            jnp.where(written[:, None], placed_obs0, tr.obs[:, 0])
         ),
+        n_obs=jnp.where(written, 1, tr.n_obs),
+        idp_base=jnp.where(written[:, None], cam_t[None], tr.idp_base),
+        idp_m=jnp.where(written[:, None], placed_m, tr.idp_m),
+        idp_rho=jnp.where(written, jnp.asarray(0.1, dt_), tr.idp_rho),
+        tracked=jnp.where(written, 1, tr.tracked),
+        lost=jnp.where(written, 0, tr.lost),
+        valid=tr.valid | written,
+        track_id=jnp.where(written, placed_id, tr.track_id),
     )
     diag = diag.replace(
         n_track_overflow=diag.n_track_overflow + overflow.astype(jnp.int32)
@@ -112,20 +126,22 @@ def extend_tracks(
     homog = jnp.concatenate([kp, jnp.ones((F, 1), dtype=dt_)], axis=-1)
     W_v = (homog @ Kinv.T) @ cam_R.T  # (F, 3)
 
-    rows = jnp.arange(F)
     # capacity guard: n_obs can never exceed the live camera count in
     # reference semantics (one observation per camera, obs of marginalized
     # cameras are deleted), but misconfigured m_max must not silently
     # overwrite the newest observation
     a = accept & (tracks.n_obs < M)
     cols = jnp.where(a, jnp.clip(tracks.n_obs, 0, M - 1), M)  # M -> dropped
-    drop = dict(mode="drop")
     new_row = pack_obs(
         kp, score, jnp.broadcast_to(cam_t, (F, 3)), W_v, desc,
         cam_id=cam_id.astype(dt_),
     )  # (F, C)
+    # per-row one-hot column write, not a 2-D scatter (batch-varying index
+    # scatters serialize under vmap on TPU); cols==M matches no column, so
+    # dropped rows keep their old observations — exact `mode="drop"` dual
+    colmask = jnp.arange(M)[None, :] == cols[:, None]  # (F, M)
     return tracks.replace(
-        obs=tracks.obs.at[rows, cols].set(new_row, **drop),
+        obs=jnp.where(colmask[..., None], new_row[:, None, :], tracks.obs),
         n_obs=jnp.where(a, tracks.n_obs + 1, tracks.n_obs),
         tracked=jnp.where(a, tracks.tracked + 1, tracks.tracked),
         lost=jnp.where(a, 0, tracks.lost),

@@ -84,7 +84,10 @@ def triage_features(cfg: MSCKFConfig, state: FilterState, subset: jnp.ndarray) -
     # parallax between first and last surviving bearings (`MSCKF.py:471-477`)
     last_idx = jnp.clip(tr.n_obs - 1, 0, cfg.m_max - 1)
     d0 = tr.line_dir[:, 0, :]
-    d1 = jnp.take_along_axis(tr.line_dir, last_idx[:, None, None], axis=1)[:, 0, :]
+    # one-hot masked reduce, not take_along_axis (batch-varying gathers
+    # serialize under vmap on TPU); exactly one True per row
+    m_eq = jnp.arange(cfg.m_max)[None, :] == last_idx[:, None]  # (F, M)
+    d1 = jnp.sum(jnp.where(m_eq[..., None], tr.line_dir, 0), axis=1)
     d0n = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True).clip(1e-30)
     d1n = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True).clip(1e-30)
     cosang = jnp.clip(jnp.sum(d0n * d1n, axis=-1), -1.0, 1.0)

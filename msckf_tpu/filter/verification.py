@@ -101,7 +101,10 @@ def verify_matches(
 
     # first failing observation decides the counter (`MSCKF.py:362,383`)
     first_fail = jnp.argmax(reject, axis=-1)  # (F,)
-    fail_is_homo = jnp.take_along_axis(short, first_fail[:, None], axis=1)[:, 0]
+    # one-hot compare+reduce, not take_along_axis (batch-varying gathers
+    # serialize under vmap on TPU)
+    ff_eq = jnp.arange(short.shape[1])[None, :] == first_fail[:, None]
+    fail_is_homo = jnp.any(ff_eq & short, axis=1)
     n_homo = jnp.sum(any_reject & fail_is_homo).astype(jnp.int32)
     n_epi = jnp.sum(any_reject & ~fail_is_homo).astype(jnp.int32)
     return VerifyResult(accept=accept, n_homo_rejected=n_homo, n_epi_rejected=n_epi)
