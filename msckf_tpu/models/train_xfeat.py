@@ -268,6 +268,34 @@ class PairPool:
         for i in self.rng.integers(0, len(self.img1), n):
             self._generate(int(i))
 
+    def save(self, path: str) -> None:
+        """Persist the pool (images as float16 — the [0, 255] range is
+        represented to ~0.1 px-value resolution, far below the jitter noise)
+        so a big pool can be pre-generated offline: generation is host-bound
+        (~0.3 s/pair on one core) and would stall the TPU step loop."""
+        np.savez(
+            path,
+            img1=self.img1.astype(np.float16),
+            img2c=self.img2c.astype(np.float16),
+            H=self.H, l1=self.l1, l2=self.l2,
+        )
+
+    @classmethod
+    def from_file(cls, rng: np.random.Generator, path: str) -> "PairPool":
+        from msckf_tpu.models.selfsup import photometric_jitter
+
+        obj = cls.__new__(cls)
+        obj._jitter = photometric_jitter
+        obj.rng = rng
+        data = np.load(path)
+        obj.img1 = data["img1"].astype(np.float32)
+        obj.img2c = data["img2c"].astype(np.float32)
+        obj.H = data["H"]
+        obj.l1 = data["l1"]
+        obj.l2 = data["l2"]
+        obj.size = obj.img1.shape[1]
+        return obj
+
     def draw(self, batch: int):
         idx = self.rng.integers(0, len(self.img1), batch)
         img2 = np.stack([self._jitter(self.rng, self.img2c[j]) for j in idx])
@@ -276,7 +304,7 @@ class PairPool:
 
 def train(steps=2000, batch=8, size=256, lr=1e-3, seed=0, out=None,
           log_every=50, init_variables=None, pool_pairs=400,
-          refresh_every=50, refresh_n=8, eval_every=0):
+          refresh_every=50, refresh_n=8, eval_every=0, pool_file=None):
     """``refresh_every``/``refresh_n``: regenerate refresh_n pool scenes
     every refresh_every steps (full pool turnover every
     pool_pairs/refresh_n * refresh_every steps) so long runs never overfit
@@ -302,8 +330,16 @@ def train(steps=2000, batch=8, size=256, lr=1e-3, seed=0, out=None,
     step_fn = make_train_step(tx, size)
 
     t0 = time.perf_counter()
-    pool = PairPool(rng, pool_pairs, size)
-    print(f"pair pool ({pool_pairs}): {time.perf_counter() - t0:.0f}s", flush=True)
+    if pool_file:
+        pool = PairPool.from_file(rng, pool_file)
+        print(
+            f"pair pool loaded ({len(pool.img1)} pairs from {pool_file}): "
+            f"{time.perf_counter() - t0:.0f}s",
+            flush=True,
+        )
+    else:
+        pool = PairPool(rng, pool_pairs, size)
+        print(f"pair pool ({pool_pairs}): {time.perf_counter() - t0:.0f}s", flush=True)
 
     best = (-1.0, None)
     eval_rng_seed = 999
@@ -373,6 +409,9 @@ def main(argv=None):
     ap.add_argument("--eval_every", type=int, default=0,
                     help="periodic hard-eval cadence; keeps the best checkpoint")
     ap.add_argument("--refresh_every", type=int, default=50)
+    ap.add_argument("--pool_file", default="",
+                    help="pre-generated PairPool .npz (see PairPool.save); "
+                    "overrides --pool")
     args = ap.parse_args(argv)
 
     import os
@@ -384,6 +423,7 @@ def main(argv=None):
         seed=args.seed, out=args.out, pool_pairs=args.pool,
         init_variables=init, eval_every=args.eval_every,
         refresh_every=args.refresh_every,
+        pool_file=args.pool_file or None,
     )
     if args.eval:
         prec, nm = match_accuracy(variables, np.random.default_rng(999))
