@@ -27,12 +27,16 @@ from msckf_tpu.data.synthetic import analytic_imu
 
 def _hash01(ix: np.ndarray, iy: np.ndarray, seed: int) -> np.ndarray:
     """Deterministic lattice hash -> [0, 1)."""
+    # uint64 arithmetic: the multiplies wrap by design (lattice hash) and
+    # int64 RuntimeWarns on overflow; the masked low bits are identical.
+    # ix/iy are (possibly negative) floored floats — float->uint64 is
+    # undefined, so cast through int64 (two's complement) first.
     h = (
-        ix.astype(np.int64) * 73856093
-        ^ iy.astype(np.int64) * 19349663
-        ^ np.int64(seed) * 83492791
-    ) & 0x7FFFFFFF
-    h = (h * 2654435761) & 0xFFFFFFFF
+        ix.astype(np.int64).astype(np.uint64) * np.uint64(73856093)
+        ^ iy.astype(np.int64).astype(np.uint64) * np.uint64(19349663)
+        ^ np.uint64(seed) * np.uint64(83492791)
+    ) & np.uint64(0x7FFFFFFF)
+    h = (h * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
     return (h / 2.0**32).astype(np.float32)
 
 
