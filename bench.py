@@ -168,8 +168,44 @@ def bench_xfeat(jax, jnp, top_k=300, width=640, height=480):
     return dt, _flops_of(compiled)
 
 
+def _wait_for_device(max_wait_s=1500, probe_timeout_s=150):
+    """Bounded wait for device discovery. The tunneled TPU's discovery RPC
+    HANGS (not raises) when the tunnel is down, so probe it in a subprocess
+    with a timeout and retry; give the driver a fast JSON failure instead of
+    an indefinite hang if the tunnel never comes back."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print('UP', jax.devices()[0].device_kind)"],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0 and "UP" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print(json.dumps({
+                "metric": "e2e_camera_loop_hz", "value": 0.0, "unit": "Hz",
+                "vs_baseline": 0.0,
+                "extra": {"error": "device discovery unreachable "
+                          f"(tunnel down?) after {max_wait_s}s, "
+                          f"{attempt} probes"},
+            }))
+            raise SystemExit(1)
+        time.sleep(30)
+
+
 def main():
     import os
+
+    _wait_for_device()
 
     import jax
 
