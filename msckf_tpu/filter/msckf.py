@@ -259,14 +259,10 @@ def run_filter(cfg: MSCKFConfig, state: FilterState, stream: dict,
 
 
 @with_f32_matmuls
-def run_sequence(cfg: MSCKFConfig, state: FilterState, prefix: dict, frames: dict,
-                 assume_camera: bool = False):
-    """Full sequence: propagate-only prefix, then camera-frame blocks.
-
-    Returns (final_state, prefix TickOutput (Bp, ...), frame TickOutput
-    (C, B, ...)). Jit this whole function with cfg (and assume_camera)
-    static.
-    """
+def propagate_prefix(cfg: MSCKFConfig, state: FilterState, prefix: dict):
+    """Propagate-only prefix before the first processed camera frame, with
+    the reference's buffering-phase output masking (see ``run_sequence``).
+    Returns (state, prefix TickOutput (Bp, ...))."""
 
     state, outs = propagate_block(
         cfg, state, prefix["imu_ts"], prefix["imu_gyro"], prefix["imu_acc"],
@@ -293,6 +289,19 @@ def run_sequence(cfg: MSCKFConfig, state: FilterState, prefix: dict, frames: dic
         blank, pre_out,
     )
     pre_out = pre_out._replace(valid=prefix["imu_valid"])
+    return state, pre_out
+
+
+@with_f32_matmuls
+def run_sequence(cfg: MSCKFConfig, state: FilterState, prefix: dict, frames: dict,
+                 assume_camera: bool = False):
+    """Full sequence: propagate-only prefix, then camera-frame blocks.
+
+    Returns (final_state, prefix TickOutput (Bp, ...), frame TickOutput
+    (C, B, ...)). Jit this whole function with cfg (and assume_camera)
+    static.
+    """
+    state, pre_out = propagate_prefix(cfg, state, prefix)
     state, frame_out = run_filter(cfg, state, frames, assume_camera=assume_camera)
     return state, pre_out, frame_out
 

@@ -335,6 +335,12 @@ def main(argv=None):
     )
     ap.add_argument("--only_imu", action="store_true")
     ap.add_argument(
+        "--stream_chunk", type=int, default=0,
+        help="stream the sequence through the filter in chunks of N camera "
+        "frames (double-buffered host->device upload; bounds device memory "
+        "for sequences larger than HBM). 0 = upload the whole stream.",
+    )
+    ap.add_argument(
         "--batch", type=int, default=0,
         help="filter N independent noise realizations of the sequence in "
         "parallel (vmap, sharded over available devices) and report "
@@ -389,22 +395,47 @@ def main(argv=None):
     stream = build_stream(
         cfg, imu_ts, gyro, acc, cam_ticks, kps, descs, scores, max_ticks=args.max_frames
     )
-    std = to_device(stream, cfg)
 
     from msckf_tpu.filter.msckf import make_initial_state, run_sequence
 
-    state = make_initial_state(cfg, std.R_init)
-    run = jax.jit(functools.partial(run_sequence, cfg, assume_camera=True))
+    if args.stream_chunk:
+        # host-resident data, two chunks on device at a time (HBM-bounded
+        # sequences; filter/streamed.py) — bit-identical to the monolithic run
+        from msckf_tpu.filter.streamed import run_sequence_streamed
 
-    t0 = time.perf_counter()
-    final, pre_out, fr_out = run(state, std.prefix, std.frames)
-    jax.block_until_ready(final.P)
-    compile_s = time.perf_counter() - t0
+        state = make_initial_state(cfg, stream.R_init)
+        t0 = time.perf_counter()
+        final, pre_out, fr_out = run_sequence_streamed(
+            cfg, state, stream.prefix, stream.frames,
+            chunk_frames=args.stream_chunk,
+        )
+        jax.block_until_ready(final.P)
+        compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    final, pre_out, fr_out = run(state, std.prefix, std.frames)
-    jax.block_until_ready(final.P)
-    run_s = time.perf_counter() - t0
+        state = make_initial_state(cfg, stream.R_init)
+        t0 = time.perf_counter()
+        final, pre_out, fr_out = run_sequence_streamed(
+            cfg, state, stream.prefix, stream.frames,
+            chunk_frames=args.stream_chunk,
+        )
+        jax.block_until_ready(final.P)
+        run_s = time.perf_counter() - t0
+        n_frames_total = stream.frames["imu_ts"].shape[0]
+    else:
+        std = to_device(stream, cfg)
+        state = make_initial_state(cfg, std.R_init)
+        run = jax.jit(functools.partial(run_sequence, cfg, assume_camera=True))
+
+        t0 = time.perf_counter()
+        final, pre_out, fr_out = run(state, std.prefix, std.frames)
+        jax.block_until_ready(final.P)
+        compile_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        final, pre_out, fr_out = run(state, std.prefix, std.frames)
+        jax.block_until_ready(final.P)
+        run_s = time.perf_counter() - t0
+        n_frames_total = std.frames["imu_ts"].shape[0]
 
     # flatten per-tick outputs
     def flat(name):
@@ -421,7 +452,7 @@ def main(argv=None):
     gt_R, gt_t = gt_R[:T], gt_t[:T]
 
     m = compute_metrics(gt_R, gt_t, est_R, est_t, sig_rot, sig_pos)
-    n_frames = std.frames["imu_ts"].shape[0]
+    n_frames = n_frames_total
     prof = {
         "compile_s": round(compile_s, 3),
         "sequence_s": round(run_s, 6),

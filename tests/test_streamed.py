@@ -1,0 +1,80 @@
+"""Chunked double-buffered streaming (`filter/streamed.py`) vs the
+monolithic `run_sequence`: identical trajectories, outputs, and final state.
+
+The streamed runner exists for sequences larger than HBM (reference analog:
+host-RAM loop, `/root/reference/main.py:261`); padding no-op frames must be
+exact state pass-throughs for the chunking to be semantics-free.
+"""
+
+import jax
+import numpy as np
+
+from msckf_tpu.config import reference_experiment_config
+from msckf_tpu.data.stream import build_stream, to_device
+from msckf_tpu.data.synthetic import generate_circle_sequence
+from msckf_tpu.filter.msckf import make_initial_state, run_sequence
+from msckf_tpu.filter.streamed import run_sequence_streamed
+
+
+def _prepared(max_ticks=400):
+    cfg = reference_experiment_config(
+        dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16
+    )
+    seq = generate_circle_sequence(rng=np.random.default_rng(0))
+    st = build_stream(
+        cfg, seq.timestamps, seq.imu_gyro, seq.imu_acc, seq.cam_frame_ticks,
+        seq.cam_keypoints, seq.cam_descriptors, seq.cam_scores,
+        max_ticks=max_ticks,
+    )
+    return cfg, st
+
+
+def test_streamed_matches_monolithic():
+    cfg, st = _prepared()
+    C = st.frames["has_camera"].shape[0]
+    assert C >= 10
+
+    std = to_device(st, cfg)
+    state0 = make_initial_state(cfg, std.R_init)
+    final_m, pre_m, out_m = jax.jit(
+        lambda s, p, f: run_sequence(cfg, s, p, f)
+    )(state0, std.prefix, std.frames)
+
+    # chunk size NOT dividing C: exercises last-chunk padding
+    state0b = make_initial_state(cfg, st.R_init)
+    final_s, pre_s, out_s = run_sequence_streamed(
+        cfg, state0b, st.prefix, st.frames, chunk_frames=7
+    )
+    assert out_s.p_WI.shape == out_m.p_WI.shape
+
+    for name in ("R_WI", "p_WI", "v_WI", "sigma_rot", "sigma_pos"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_m, name)), getattr(out_s, name),
+            err_msg=f"frame output {name} differs",
+        )
+    np.testing.assert_array_equal(np.asarray(out_m.n_cams), out_s.n_cams)
+    np.testing.assert_array_equal(np.asarray(out_m.n_tracks), out_s.n_tracks)
+    np.testing.assert_array_equal(np.asarray(pre_m.p_WI), pre_s.p_WI)
+
+    fm = jax.device_get(final_m)
+    fs = jax.device_get(final_s)
+    np.testing.assert_array_equal(fm.imu.p_WI, fs.imu.p_WI)
+    np.testing.assert_array_equal(fm.P, fs.P)
+    assert int(fs.diag.n_track_overflow) == 0
+
+
+def test_streamed_single_chunk_and_oversize():
+    """chunk_frames >= C degrades to one upload; chunk_frames=1 still works."""
+    cfg, st = _prepared(max_ticks=250)
+    state0 = make_initial_state(cfg, st.R_init)
+    f_big, _, out_big = run_sequence_streamed(
+        cfg, state0, st.prefix, st.frames, chunk_frames=10_000
+    )
+    state0 = make_initial_state(cfg, st.R_init)
+    f_one, _, out_one = run_sequence_streamed(
+        cfg, state0, st.prefix, st.frames, chunk_frames=1
+    )
+    np.testing.assert_array_equal(out_big.p_WI, out_one.p_WI)
+    np.testing.assert_array_equal(
+        jax.device_get(f_big).P, jax.device_get(f_one).P
+    )
