@@ -44,14 +44,17 @@ def _cast_chunk(d: dict, cfg: MSCKFConfig, device=None) -> dict:
     return out
 
 
-def _pad_chunk(chunk: dict, n_pad: int) -> dict:
-    """Append n_pad no-op frame blocks (all-invalid ticks, no camera)."""
+def _pad_chunk(chunk: dict, n_pad: int, axis: int = 0) -> dict:
+    """Append n_pad no-op frame blocks (all-invalid ticks, no camera) along
+    the frame axis."""
     if n_pad == 0:
         return chunk
     out = {}
     for k, v in chunk.items():
-        pad = np.zeros((n_pad,) + v.shape[1:], dtype=v.dtype)
-        out[k] = np.concatenate([v, pad], axis=0)
+        shape = list(v.shape)
+        shape[axis] = n_pad
+        pad = np.zeros(shape, dtype=v.dtype)
+        out[k] = np.concatenate([v, pad], axis=axis)
     return out
 
 
@@ -128,3 +131,81 @@ def run_sequence_streamed(
     )
     frame_out = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs_host)
     return state, pre_out_host, frame_out
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_chunk_fn(cfg: MSCKFConfig):
+    fn = lambda st, fr: jax.vmap(
+        lambda s, f: run_filter(cfg, s, f, assume_camera=False)
+    )(st, fr)
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_prefix_fn(cfg: MSCKFConfig):
+    return jax.jit(
+        lambda st, pre: jax.vmap(lambda s, p: propagate_prefix(cfg, s, p))(st, pre)
+    )
+
+
+def run_batched_streamed(
+    cfg: MSCKFConfig,
+    states: FilterState,  # batched (leading axis B on every leaf)
+    prefix: dict,  # HOST arrays, leading dims (B, Tp)
+    frames: dict,  # HOST arrays, leading dims (B, C, ...)
+    chunk_frames: int = 64,
+    sharding=None,  # e.g. NamedSharding(mesh, P('data')) for multi-chip dp
+):
+    """Batched analog of ``run_sequence_streamed``: stream a BATCH of
+    trajectories through the vmapped filter in fixed-shape frame chunks.
+
+    Combines the two scale axes — trajectories wide (vmap/`sharding` over a
+    ('data',) mesh, `parallel/batched.py`) and sequences long (HBM-bounded
+    chunk streaming). Same semantics as ``batched_run_sequence``; pad frames
+    pass states through untouched (the vmapped camera cond lowers to select,
+    which discards the unselected branch).
+
+    Returns (final batched state on device, prefix TickOutput, frame
+    TickOutput (B, C, ...)) with the TickOutputs as host numpy.
+    """
+    C = int(np.asarray(frames["has_camera"]).shape[1])
+    if C == 0:
+        raise ValueError("frames is empty")
+    chunk_frames = min(chunk_frames, C)
+
+    run_chunk = _batched_chunk_fn(cfg)
+    prefix_fn = _batched_prefix_fn(cfg)
+
+    if sharding is not None:
+        states = jax.device_put(states, sharding)
+    states, pre_out = prefix_fn(states, _cast_chunk(prefix, cfg, sharding))
+    pre_out_host = jax.device_get(pre_out)
+
+    n_chunks = -(-C // chunk_frames)
+    host_chunks = []
+    for i in range(n_chunks):
+        a, b = i * chunk_frames, min((i + 1) * chunk_frames, C)
+        ch = {k: np.asarray(v)[:, a:b] for k, v in frames.items()}
+        host_chunks.append(_pad_chunk(ch, chunk_frames - (b - a), axis=1))
+
+    outs_host: list = []
+    pending = None
+    dev_chunk = _cast_chunk(host_chunks[0], cfg, sharding)
+    for i in range(n_chunks):
+        states, out = run_chunk(states, dev_chunk)
+        if i + 1 < n_chunks:
+            dev_chunk = _cast_chunk(host_chunks[i + 1], cfg, sharding)
+        if pending is not None:
+            prev_out, n_real = pending
+            outs_host.append(
+                jax.tree.map(lambda x: np.asarray(x)[:, :n_real],
+                             jax.device_get(prev_out))
+            )
+        pending = (out, min(chunk_frames, C - i * chunk_frames))
+
+    prev_out, n_real = pending
+    outs_host.append(
+        jax.tree.map(lambda x: np.asarray(x)[:, :n_real], jax.device_get(prev_out))
+    )
+    frame_out = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1), *outs_host)
+    return states, pre_out_host, frame_out

@@ -560,21 +560,49 @@ def _run_batched(args, cfg):
         n_dev -= 1
     mesh = data_mesh(n_dev)
     states = batched_initial_state(cfg, B, R_init=R_inits)
-    states = shard_batch(states, mesh)
-    prefix = shard_batch(prefix, mesh)
-    frames = shard_batch(frames, mesh)
 
-    run = sharded_run_sequence(cfg, mesh)
-    # NOTE: time around a host fetch — block_until_ready through the axon
-    # tunnel can return before the while-loop result is materialized
-    t0 = time.perf_counter()
-    final, pre_out, fr_out = run(states, prefix, frames)
-    p_final = np.asarray(jax.device_get(final.imu.p_WI))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    final, pre_out, fr_out = run(states, prefix, frames)
-    p_final = np.asarray(jax.device_get(final.imu.p_WI))
-    run_s = time.perf_counter() - t0
+    if args.stream_chunk:
+        # trajectories wide AND sequences long: dp-sharded batch, frames
+        # chunk-streamed from the host (filter/streamed.py)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from msckf_tpu.filter.streamed import run_batched_streamed
+
+        sharding = NamedSharding(mesh, P("data"))
+        prefix_h = {k: np.asarray(v) for k, v in prefix.items()}
+        frames_h = {k: np.asarray(v) for k, v in frames.items()}
+
+        def run_once():
+            st0 = jax.device_put(states, sharding)
+            return run_batched_streamed(
+                cfg, st0, prefix_h, frames_h,
+                chunk_frames=args.stream_chunk, sharding=sharding,
+            )
+
+        t0 = time.perf_counter()
+        final, pre_out, fr_out = run_once()
+        p_final = np.asarray(jax.device_get(final.imu.p_WI))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        final, pre_out, fr_out = run_once()
+        p_final = np.asarray(jax.device_get(final.imu.p_WI))
+        run_s = time.perf_counter() - t0
+    else:
+        states = shard_batch(states, mesh)
+        prefix = shard_batch(prefix, mesh)
+        frames = shard_batch(frames, mesh)
+
+        run = sharded_run_sequence(cfg, mesh)
+        # NOTE: time around a host fetch — block_until_ready through the axon
+        # tunnel can return before the while-loop result is materialized
+        t0 = time.perf_counter()
+        final, pre_out, fr_out = run(states, prefix, frames)
+        p_final = np.asarray(jax.device_get(final.imu.p_WI))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        final, pre_out, fr_out = run(states, prefix, frames)
+        p_final = np.asarray(jax.device_get(final.imu.p_WI))
+        run_s = time.perf_counter() - t0
     errs = [
         float(np.linalg.norm(p_final[b] - seqs[b].poses_t[streams[b].n_ticks - 1]))
         for b in range(B)

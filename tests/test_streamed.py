@@ -63,6 +63,51 @@ def test_streamed_matches_monolithic():
     assert int(fs.diag.n_track_overflow) == 0
 
 
+def test_batched_streamed_matches_batched():
+    """run_batched_streamed == batched_run_sequence, with distinct batch
+    lanes (perturbed initial positions) so lane mixing would be caught."""
+    import jax.numpy as jnp
+
+    from msckf_tpu.filter.streamed import run_batched_streamed
+    from msckf_tpu.parallel.batched import batched_initial_state, batched_run_sequence
+
+    cfg, st = _prepared(max_ticks=300)
+    B = 3
+    states = batched_initial_state(cfg, B, R_init=st.R_init)
+    dp = jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.1, -0.2, 0.05], [-0.3, 0.02, 0.1]], cfg.jdtype
+    )
+    states = states.replace(imu=states.imu.replace(p_WI=states.imu.p_WI + dp))
+
+    std = to_device(st, cfg)
+    rep = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    prefix_d = {k: rep(v) for k, v in std.prefix.items()}
+    frames_d = {k: rep(v) for k, v in std.frames.items()}
+    final_m, pre_m, out_m = jax.jit(
+        lambda s, p, f: batched_run_sequence(cfg, s, p, f)
+    )(states, prefix_d, frames_d)
+
+    rep_h = lambda x: np.broadcast_to(np.asarray(x), (B,) + x.shape)
+    prefix_h = {k: rep_h(v) for k, v in st.prefix.items()}
+    frames_h = {k: rep_h(v) for k, v in st.frames.items()}
+    final_s, pre_s, out_s = run_batched_streamed(
+        cfg, states, prefix_h, frames_h, chunk_frames=5
+    )
+
+    assert out_s.p_WI.shape == out_m.p_WI.shape  # (B, C, Bt, 3)
+    # distinct lanes stayed distinct
+    assert not np.allclose(out_s.p_WI[0], out_s.p_WI[1])
+    for name in ("R_WI", "p_WI", "v_WI", "sigma_pos"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_m, name)), getattr(out_s, name),
+            err_msg=f"batched frame output {name} differs",
+        )
+    np.testing.assert_array_equal(np.asarray(pre_m.p_WI), pre_s.p_WI)
+    fm, fs = jax.device_get(final_m), jax.device_get(final_s)
+    np.testing.assert_array_equal(fm.imu.p_WI, fs.imu.p_WI)
+    np.testing.assert_array_equal(fm.P, fs.P)
+
+
 def test_streamed_single_chunk_and_oversize():
     """chunk_frames >= C degrades to one upload; chunk_frames=1 still works."""
     cfg, st = _prepared(max_ticks=250)
