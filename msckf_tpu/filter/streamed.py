@@ -78,6 +78,8 @@ def run_sequence_streamed(
     frames: dict,  # HOST arrays (build_stream output), leading dim C
     chunk_frames: int = 64,
     device=None,
+    on_chunk=None,
+    on_prefix=None,
 ):
     """Stream the filter over ``frames`` in fixed-shape chunks.
 
@@ -85,6 +87,12 @@ def run_sequence_streamed(
     host-resident data: returns (final_state on device, prefix TickOutput,
     frame TickOutput (C, B, ...)) where the TickOutputs are host numpy
     (they may not fit HBM either — that is the point).
+
+    ``on_chunk(start_frame, chunk_out)``: called with each chunk's host
+    TickOutput as soon as it is fetched — i.e. WHILE the next chunk still
+    computes on device. This is the live-telemetry hook (the reference
+    streams to the Rerun viewer per tick inside its loop,
+    `/root/reference/main.py:393-434`; see `utils/viz.LiveRerunStream`).
     """
     C = int(np.asarray(frames["has_camera"]).shape[0])
     if C == 0:
@@ -99,6 +107,8 @@ def run_sequence_streamed(
 
     state, pre_out = prefix_fn(state, _cast_chunk(prefix, cfg, device))
     pre_out_host = jax.device_get(pre_out)
+    if on_prefix is not None:
+        on_prefix(pre_out_host)
 
     n_chunks = -(-C // chunk_frames)
     host_chunks = []
@@ -108,7 +118,17 @@ def run_sequence_streamed(
         host_chunks.append(_pad_chunk(ch, chunk_frames - (b - a)))
 
     outs_host: list = []
-    pending = None  # (device TickOutput, n_real_frames) not yet fetched
+
+    def fetch(pending):
+        prev_out, start, n_real = pending
+        host = jax.tree.map(
+            lambda x: np.asarray(x)[:n_real], jax.device_get(prev_out)
+        )
+        outs_host.append(host)
+        if on_chunk is not None:
+            on_chunk(start, host)
+
+    pending = None  # (device TickOutput, start frame, n_real) not yet fetched
     dev_chunk = _cast_chunk(host_chunks[0], cfg, device)
     for i in range(n_chunks):
         state, out = run_chunk(state, dev_chunk)  # async dispatch
@@ -117,18 +137,10 @@ def run_sequence_streamed(
             dev_chunk = _cast_chunk(host_chunks[i + 1], cfg, device)
         if pending is not None:
             # overlap the previous chunk's D2H fetch with this compute
-            prev_out, n_real = pending
-            outs_host.append(
-                jax.tree.map(lambda x: np.asarray(x)[:n_real],
-                             jax.device_get(prev_out))
-            )
-        n_real = min(chunk_frames, C - i * chunk_frames)
-        pending = (out, n_real)
+            fetch(pending)
+        pending = (out, i * chunk_frames, min(chunk_frames, C - i * chunk_frames))
 
-    prev_out, n_real = pending
-    outs_host.append(
-        jax.tree.map(lambda x: np.asarray(x)[:n_real], jax.device_get(prev_out))
-    )
+    fetch(pending)
     frame_out = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs_host)
     return state, pre_out_host, frame_out
 

@@ -335,6 +335,12 @@ def main(argv=None):
     )
     ap.add_argument("--only_imu", action="store_true")
     ap.add_argument(
+        "--rerun_live", action="store_true",
+        help="stream telemetry to the Rerun viewer LIVE during the run "
+        "(per fetched chunk; requires --stream_chunk and rerun-sdk). The "
+        "reference's in-loop rr.log analog (main.py:393-434).",
+    )
+    ap.add_argument(
         "--stream_chunk", type=int, default=0,
         help="stream the sequence through the filter in chunks of N camera "
         "frames (double-buffered host->device upload; bounds device memory "
@@ -398,6 +404,9 @@ def main(argv=None):
 
     from msckf_tpu.filter.msckf import make_initial_state, run_sequence
 
+    if args.rerun_live and not args.stream_chunk:
+        print("--rerun_live requires --stream_chunk (live = per fetched "
+              "chunk); ignoring")
     if args.stream_chunk:
         # host-resident data, two chunks on device at a time (HBM-bounded
         # sequences; filter/streamed.py) — bit-identical to the monolithic run
@@ -412,11 +421,24 @@ def main(argv=None):
         jax.block_until_ready(final.P)
         compile_s = time.perf_counter() - t0
 
+        live_cb = {}
+        if args.rerun_live:
+            from msckf_tpu.utils import viz
+
+            if viz.HAVE_RERUN:
+                live = viz.LiveRerunStream(gt_R, gt_t, spawn=True)
+                live_cb = dict(
+                    on_prefix=live.consume,
+                    on_chunk=lambda start, out: live.consume(out),
+                )
+            else:
+                print("rerun-sdk not installed; --rerun_live ignored")
+
         state = make_initial_state(cfg, stream.R_init)
         t0 = time.perf_counter()
         final, pre_out, fr_out = run_sequence_streamed(
             cfg, state, stream.prefix, stream.frames,
-            chunk_frames=args.stream_chunk,
+            chunk_frames=args.stream_chunk, **live_cb,
         )
         jax.block_until_ready(final.P)
         run_s = time.perf_counter() - t0

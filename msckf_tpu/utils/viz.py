@@ -69,6 +69,122 @@ def stream_to_rerun(
             rr.log("msckf/camera_states", rr.Scalars(int(n_cams[i])))
 
 
+class LiveRerunStream:
+    """LIVE per-tick telemetry during a chunk-streamed run.
+
+    The reference logs to the Rerun viewer inside its sensor loop
+    (`/root/reference/main.py:393-434`). The TPU filter runs on device, so
+    "inside the loop" becomes "per fetched chunk": wire ``consume`` to
+    `filter.streamed.run_sequence_streamed(on_chunk=...)` and every tick is
+    logged while the NEXT chunk still computes — live at chunk latency,
+    with 3-sigma bounds taken directly from the filter's own covariance
+    outputs (no post-hoc metrics pass).
+
+    ``sink``: the rerun module by default; injectable (any object with
+    compatible ``set_time``/``log``) so the streaming logic is testable
+    without rerun-sdk (absent from this image).
+    """
+
+    def __init__(self, gt_R, gt_t, app_id: str = "vio",
+                 save_path: str | None = None, spawn: bool = False, sink=None):
+        if sink is None:
+            if not HAVE_RERUN:
+                raise ImportError("rerun-sdk is not installed; install extras [viz]")
+            rr.init(app_id, spawn=spawn)
+            if save_path:
+                rr.save(save_path)
+            sink = rr
+        self.sink = sink
+        self.gt_t = np.asarray(gt_t)
+        self.gt_R = np.asarray(gt_R)
+        self.tick = 0
+        self._est_t: list = []
+
+    def consume(self, tick_out) -> None:
+        """Log one fetched TickOutput piece (prefix block or frame chunk).
+
+        Accepts frame chunks shaped (chunk, B, ...) or flat blocks (T, ...);
+        invalid (padding) ticks are skipped, mirroring the stream builder's
+        validity contract.
+        """
+        s = self.sink
+        valid = np.asarray(tick_out.valid)
+        flat = lambda a: np.asarray(a).reshape((-1,) + np.asarray(a).shape[valid.ndim:])
+        v = valid.reshape(-1)
+        est_R = flat(tick_out.R_WI)[v]
+        est_t = flat(tick_out.p_WI)[v]
+        sig_pos = flat(tick_out.sigma_pos)[v]
+        sig_rot = flat(tick_out.sigma_rot)[v]
+        n_tracks = flat(tick_out.n_tracks)[v]
+        n_cams = flat(tick_out.n_cams)[v]
+
+        for j in range(len(est_t)):
+            i = self.tick
+            if i >= len(self.gt_t):
+                return
+            self._est_t.append(est_t[j])
+            s.set_time(timeline="frame", sequence=i)
+            s.log("world/gt_trajectory", _points3d(self.gt_t[: i + 1]))
+            s.log("world/estimated_trajectory", _points3d(np.asarray(self._est_t)))
+            s.log(
+                "world/camera_vio",
+                _transform3d(translation=est_t[j], mat3x3=est_R[j]),
+            )
+            s.log(
+                "world/imu_position_covariance",
+                _ellipsoids3d(centers=[est_t[j]], half_sizes=[3.0 * sig_pos[j]]),
+            )
+            ate = est_t[j] - self.gt_t[i]
+            aoe = _rot_angles(self.gt_R[i].T @ est_R[j])
+            for axis, name in enumerate("xyz"):
+                s.log(f"absolute_translation_error/{name}", _scalars(ate[axis]))
+                s.log(f"absolute_translation_error/{name}ub", _scalars(3.0 * sig_pos[j, axis]))
+                s.log(f"absolute_translation_error/{name}lb", _scalars(-3.0 * sig_pos[j, axis]))
+            for axis, name in enumerate(("roll", "pitch", "yaw")):
+                s.log(f"absolute_orientation_error/{name}", _scalars(aoe[axis]))
+                s.log(f"absolute_orientation_error/{name}ub", _scalars(3.0 * sig_rot[j, axis]))
+            s.log("msckf/features", _scalars(int(n_tracks[j])))
+            s.log("msckf/camera_states", _scalars(int(n_cams[j])))
+            self.tick += 1
+
+
+def _rot_angles(R_err: np.ndarray) -> np.ndarray:
+    """xyz Euler angles of a small error rotation (reference logs
+    roll/pitch/yaw error series, `main.py:379-390`)."""
+    sy = float(np.hypot(R_err[0, 0], R_err[1, 0]))
+    if sy > 1e-6:
+        return np.array([
+            np.arctan2(R_err[2, 1], R_err[2, 2]),
+            np.arctan2(-R_err[2, 0], sy),
+            np.arctan2(R_err[1, 0], R_err[0, 0]),
+        ])
+    return np.array([
+        np.arctan2(-R_err[1, 2], R_err[1, 1]),
+        np.arctan2(-R_err[2, 0], sy),
+        0.0,
+    ])
+
+
+def _points3d(pts):
+    return rr.Points3D(pts, radii=0.01) if HAVE_RERUN else ("Points3D", np.asarray(pts))
+
+
+def _transform3d(translation, mat3x3):
+    if HAVE_RERUN:
+        return rr.Transform3D(translation=translation, mat3x3=mat3x3, axis_length=0.2)
+    return ("Transform3D", np.asarray(translation))
+
+
+def _ellipsoids3d(centers, half_sizes):
+    if HAVE_RERUN:
+        return rr.Ellipsoids3D(centers=centers, half_sizes=half_sizes)
+    return ("Ellipsoids3D", np.asarray(centers))
+
+
+def _scalars(x):
+    return rr.Scalars(x) if HAVE_RERUN else ("Scalars", float(x))
+
+
 class CameraImageCanvas:
     """2D image-plane canvas with keypoints and covariance ellipses
     (`visualization_utils.py:9-152`)."""

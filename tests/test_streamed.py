@@ -108,6 +108,59 @@ def test_batched_streamed_matches_batched():
     np.testing.assert_array_equal(fm.P, fs.P)
 
 
+def test_live_telemetry_during_streamed_run():
+    """LiveRerunStream + on_chunk: every valid tick is logged, in order,
+    with per-chunk granularity DURING the run (sink-injected; rerun-sdk is
+    absent from this image)."""
+    from msckf_tpu.utils.viz import LiveRerunStream
+
+    class FakeSink:
+        def __init__(self):
+            self.ticks = []
+            self.logged = []
+
+        def set_time(self, timeline, sequence):
+            self.ticks.append(sequence)
+
+        def log(self, entity, payload):
+            self.logged.append(entity)
+
+    cfg, st = _prepared(max_ticks=300)
+    n_ticks = st.n_ticks
+
+    # GT arrays sized to the tick count (identity/zeros are fine: the live
+    # stream logs raw error series, it does not gate on them)
+    gt_R = np.broadcast_to(np.eye(3), (n_ticks, 3, 3))
+    gt_t = np.zeros((n_ticks, 3))
+    sink = FakeSink()
+    live = LiveRerunStream(gt_R, gt_t, sink=sink)
+
+    chunk_sizes = []
+
+    def on_chunk(start, out):
+        chunk_sizes.append(np.asarray(out.p_WI).shape[0])
+        live.consume(out)
+
+    state0 = make_initial_state(cfg, st.R_init)
+    run_sequence_streamed(
+        cfg, state0, st.prefix, st.frames, chunk_frames=4,
+        on_prefix=live.consume, on_chunk=on_chunk,
+    )
+
+    # chunked delivery happened (many callbacks, fixed size except the tail)
+    assert len(chunk_sizes) >= 3
+    assert set(chunk_sizes[:-1]) == {4}
+    # ticks logged monotonically 0..T-1 over all valid ticks
+    total_valid = int(np.sum(st.prefix["imu_valid"])) + int(
+        np.sum(st.frames["imu_valid"])
+    )
+    expect = min(total_valid, n_ticks)
+    assert live.tick == expect
+    assert sink.ticks == list(range(expect))
+    assert "world/estimated_trajectory" in sink.logged
+    assert "absolute_orientation_error/yaw" in sink.logged
+
+
 def test_streamed_single_chunk_and_oversize():
     """chunk_frames >= C degrades to one upload; chunk_frames=1 still works."""
     cfg, st = _prepared(max_ticks=250)
