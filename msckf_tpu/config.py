@@ -117,6 +117,20 @@ class MSCKFConfig:
     # "fused":  the round-2 monolithic U-tiled kernel (kept for comparison).
     # "xla":    pure XLA (batched cholesky custom-call) — the off-TPU path.
     update_kernel: str = "hybrid"
+    # prune-path dispatch when the camera window saturates (camera_step):
+    # "cond":   lax.cond on n > max_camera_states (the reference's control
+    #           flow; the branch boundary copies every carried leaf, and
+    #           under vmap both branches execute anyway).
+    # "masked": always run the prune computation with the victim mask zeroed
+    #           while n <= max_camera_states — an exact no-op by the same
+    #           identity algebra as the cond-free main update (A=0, c=0
+    #           correction is the identity; remove_cameras with no victims is
+    #           the identity permutation). Saves the cond's state copies on
+    #           the single-sequence path and the run-both-branches select
+    #           under vmap. Trajectories agree with "cond" to round-off (the
+    #           no-op frames still re-orthonormalize rotations, like the main
+    #           update — docs/numerics.md).
+    prune_path: str = "cond"
 
     # --- numerics ---
     dtype: str = "float32"

@@ -154,7 +154,9 @@ def select_prune_victims(cfg: MSCKFConfig, state: FilterState) -> jnp.ndarray:
     return jnp.any(sel, axis=0)
 
 
-def prune_poorest_camera_states(cfg: MSCKFConfig, state: FilterState) -> FilterState:
+def prune_poorest_camera_states(
+    cfg: MSCKFConfig, state: FilterState, enable=None, branchless: bool = False
+) -> FilterState:
     """`MSCKF.py:710-737`: pick the (up to) two observed cameras with the
     fewest feature observations, run a final update over the features that
     observe them, then marginalize.
@@ -163,8 +165,18 @@ def prune_poorest_camera_states(cfg: MSCKFConfig, state: FilterState) -> FilterS
     order cameras are first encountered while iterating features — which
     ``camera_first_encounter_rank`` reproduces exactly (validated against
     forced-tie fixtures in tests/test_prune_tiebreak.py).
+
+    ``enable`` (traced bool, optional): zero the victim mask when False —
+    with no victims the triage subset is empty, the update terms are A=0/c=0
+    (exact-identity correction), and ``remove_cameras`` is the identity
+    permutation, so the whole call is an exact no-op (modulo the rotation
+    re-orthonormalization round-off shared with the cond-free main update).
+    ``branchless`` (static): drop the inner ``lax.cond`` on the second
+    update by the same identity argument (`cfg.prune_path == "masked"`).
     """
     victim = select_prune_victims(cfg, state)
+    if enable is not None:
+        victim = victim & enable
 
     # features observing a victim camera (`MSCKF.py:726-731`)
     in_victim = (
@@ -175,10 +187,13 @@ def prune_poorest_camera_states(cfg: MSCKFConfig, state: FilterState) -> FilterS
 
     tri = triage_features(cfg, state, subset)
     state = state.replace(tracks=tri.tracks)
-    state = lax.cond(
-        jnp.any(tri.valid),
-        lambda s: ekf_update(cfg, s, tri.valid),
-        lambda s: s,
-        state,
-    )
+    if branchless:
+        state = ekf_update(cfg, state, tri.valid)
+    else:
+        state = lax.cond(
+            jnp.any(tri.valid),
+            lambda s: ekf_update(cfg, s, tri.valid),
+            lambda s: s,
+            state,
+        )
     return remove_cameras(cfg, state, victim)

@@ -152,12 +152,22 @@ def camera_step(
     state = state_augmentation(cfg, state)
     state = add_camera_measurements(cfg, state, kp, desc, score, kp_valid)
     state = process_features(cfg, state)
-    state = lax.cond(
-        state.cams.n > cfg.max_camera_states,
-        lambda s: prune_poorest_camera_states(cfg, s),
-        lambda s: s,
-        state,
-    )
+    saturated = state.cams.n > cfg.max_camera_states
+    if cfg.prune_path == "masked":
+        # branchless: victims masked off while the window is unsaturated —
+        # an exact no-op (see prune_poorest_camera_states); avoids the
+        # cond's carried-state copies, and under vmap the cond would run
+        # both branches anyway
+        state = prune_poorest_camera_states(
+            cfg, state, enable=saturated, branchless=True
+        )
+    else:
+        state = lax.cond(
+            saturated,
+            lambda s: prune_poorest_camera_states(cfg, s),
+            lambda s: s,
+            state,
+        )
     return state
 
 

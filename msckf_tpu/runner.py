@@ -335,6 +335,13 @@ def main(argv=None):
     )
     ap.add_argument("--only_imu", action="store_true")
     ap.add_argument(
+        "--prune_path", default="", choices=["", "cond", "masked"],
+        help="window-saturation prune dispatch (MSCKFConfig.prune_path): "
+        "'cond' = lax.cond (default), 'masked' = branchless masked-victim "
+        "form (exact no-op while unsaturated; avoids the cond's state "
+        "copies and the run-both-branches select under vmap)",
+    )
+    ap.add_argument(
         "--rerun_live", action="store_true",
         help="stream telemetry to the Rerun viewer LIVE during the run "
         "(per fetched chunk; requires --stream_chunk and rerun-sdk). The "
@@ -373,6 +380,7 @@ def main(argv=None):
             if args.correction_dtype
             else {}
         ),
+        **({"prune_path": args.prune_path} if args.prune_path else {}),
     )
 
     # Activate the f64 correction island (MSCKFConfig.correction_dtype) on
