@@ -29,24 +29,34 @@ def init_distributed(coordinator_address: str | None = None,
     Returns True when running multi-process. With no arguments and no
     cluster environment (TPU pod metadata, SLURM, ...), stays single-process
     and returns False — callers need no special-casing either way.
+
+    NOTE: must run before anything initializes the XLA backend — even
+    ``jax.process_count()``/``jax.devices()`` count (jax.distributed's own
+    contract), so this function must not query them first. Exercised by the
+    real two-process fixture (`scripts/multihost_demo.py`,
+    tests/test_multihost.py).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
     if coordinator_address is None and num_processes is None:
         # auto-detection only: in a pod slice jax.distributed.initialize()
-        # picks everything up from the TPU metadata; on a plain host it
-        # raises, which means single-process
+        # picks everything up from the TPU metadata; on a plain host (or
+        # with the backend already initialized) it raises, which means
+        # single-process
         try:
             jax.distributed.initialize()
         except Exception:
-            return False
+            return jax.process_count() > 1
         return jax.process_count() > 1
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
-    return True
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # tolerate a second call in the same process (idempotent use)
+        if "once" not in str(e) and "already" not in str(e):
+            raise
+    return jax.process_count() > 1
 
 
 def global_data_mesh() -> Mesh:

@@ -65,3 +65,46 @@ def test_multihost_single_process_dp():
     ]
     assert np.all(np.isfinite(errs))
     assert max(errs) < 1.0
+
+
+def test_two_process_distributed_cpu():
+    """REAL multi-process execution: two jax.distributed processes on CPU
+    run the SPMD batched filter over a 2-device global mesh
+    (`scripts/multihost_demo.py` — the same program a pod slice runs). Both
+    processes must report the same final position for their (identical)
+    local trajectory, matching the single-process filter."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "XLA_FLAGS": ""}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(root, "scripts", "multihost_demo.py"),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num_processes", "2", "--process_id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=root, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"demo process failed:\n{out[-2000:]}"
+
+    vals = []
+    for out in outs:
+        m = re.search(r"MULTIHOST process (\d)/2 devices=2 local_rows=1 "
+                      r"p_WI=\[([^\]]+)\]", out)
+        assert m, f"no MULTIHOST line in:\n{out[-2000:]}"
+        vals.append(np.fromstring(m.group(2), sep=" "))
+    # identical input trajectories -> identical rows across processes
+    np.testing.assert_allclose(vals[0], vals[1], rtol=0, atol=0)
+    assert np.all(np.isfinite(vals[0]))
