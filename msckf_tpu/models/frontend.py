@@ -26,11 +26,13 @@ class FeatureExtractor:
     checkpoint with ``convert_torch_state_dict``).
     """
 
-    def __init__(self, params=None, top_k: int = 300):
+    def __init__(self, params=None, top_k: int = 300, refine_subpix: bool = False):
         self.params = params if params is not None else init_params(jax.random.key(0))
         self.top_k = top_k
         self._jit_extract = jax.jit(
-            lambda p, img: detect_and_compute(p, img, top_k=top_k)
+            lambda p, img: detect_and_compute(
+                p, img, top_k=top_k, refine_subpix=refine_subpix
+            )
         )
 
     def extract_features(self, image: np.ndarray, top_k: int | None = None):
@@ -101,7 +103,8 @@ def load_image_grayscale(path: str) -> np.ndarray:
 
 
 def extract_sequence_features(
-    paths: Sequence[str], top_k: int = 300, params=None, batch: int = 8
+    paths: Sequence[str], top_k: int = 300, params=None, batch: int = 8,
+    refine_subpix: bool = False,
 ):
     """Extract features for a whole image sequence.
 
@@ -134,14 +137,16 @@ def extract_sequence_features(
                 chunk = chunk + [chunk[-1]]
             arr = jnp.asarray(np.stack(chunk, axis=0))
             k, d, s, v = jax.device_get(
-                batched_detect_and_compute(params, arr, top_k=top_k)
+                batched_detect_and_compute(
+                    params, arr, top_k=top_k, refine_subpix=refine_subpix
+                )
             )
             for j in range(n):
                 kps.append(k[j][v[j]])
                 descs.append(d[j][v[j]])
                 scores.append(s[j][v[j]])
         return kps, descs, scores
-    fx = FeatureExtractor(params=params, top_k=top_k)
+    fx = FeatureExtractor(params=params, top_k=top_k, refine_subpix=refine_subpix)
     for im in imgs:
         k, d, s = fx.extract_features(im)
         kps.append(k)

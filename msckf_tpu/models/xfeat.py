@@ -269,6 +269,7 @@ def detect_and_compute(
     top_k: int = 300,
     nms_threshold: float = 0.05,
     nms_kernel: int = 5,
+    refine_subpix: bool = False,
 ):
     """Upstream ``XFeat.detectAndCompute`` as fixed-shape XLA ops.
 
@@ -276,6 +277,12 @@ def detect_and_compute(
     (top_k, 64) L2 normalized, scores (top_k,), valid (top_k,) bool). Invalid
     slots carry score -1, matching upstream's sentinel. Validated against a
     torch implementation of the upstream spec (tests/test_xfeat_torch_parity).
+
+    ``refine_subpix`` (enhancement, off by default == upstream-exact): refine
+    each peak's output coordinate by a 1-D quadratic fit per axis over the
+    3x3 heatmap neighborhood (offset in (-1/2, 1/2) px). Descriptors/scores
+    stay sampled at the integer peak, so matching is unchanged — only the
+    measurement coordinates handed to the filter sharpen.
     """
     H0, W0 = image.shape
     if H0 < 32 or W0 < 32:
@@ -323,6 +330,31 @@ def detect_and_compute(
     desc = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True).clip(1e-12)
 
     valid = top_scores > 0
+
+    if refine_subpix:
+        # 1-D quadratic (parabola) vertex per axis on the 3x3 heatmap
+        # neighborhood: offset = (h[-1] - h[+1]) / (2 (h[-1] - 2 h[0] + h[+1])),
+        # well-defined at an NMS peak (h[0] >= neighbors ⇒ curvature <= 0);
+        # degenerate plateaus get offset 0. Runs once per frame on top_k
+        # points — outside the filter scan, so the tiny gathers are harmless.
+        iy = (top_idx // W).astype(jnp.int32)
+        ix = (top_idx % W).astype(jnp.int32)
+
+        def tap(dy, dx):
+            return hm[jnp.clip(iy + dy, 0, H - 1), jnp.clip(ix + dx, 0, W - 1)]
+
+        c = tap(0, 0)
+        l, r = tap(0, -1), tap(0, 1)
+        u, d = tap(-1, 0), tap(1, 0)
+
+        def vertex(lo, hi):
+            den = lo - 2.0 * c + hi
+            off = 0.5 * (lo - hi) / jnp.where(jnp.abs(den) < 1e-12, 1.0, den)
+            off = jnp.where(jnp.abs(den) < 1e-12, 0.0, off)
+            return jnp.clip(off, -0.5, 0.5)
+
+        kpts = kpts + jnp.stack([vertex(l, r), vertex(u, d)], axis=-1)
+
     # scale keypoints back to the input frame (upstream rw1/rh1)
     kpts = kpts * jnp.asarray([W0 / W, H0 / H], dtype=kpts.dtype)
     return kpts, desc, top_scores, valid

@@ -46,11 +46,13 @@ def shard_params(params, mesh: Mesh):
 
 
 def batched_detect_and_compute(params, images: jnp.ndarray, top_k: int = 300,
-                               mesh: Mesh | None = None):
+                               mesh: Mesh | None = None,
+                               refine_subpix: bool = False):
     """vmap detect_and_compute over a batch of images, optionally with the
     batch axis sharded over 'data'."""
 
-    fn = jax.vmap(lambda img: detect_and_compute(params, img, top_k=top_k))
+    fn = jax.vmap(lambda img: detect_and_compute(
+        params, img, top_k=top_k, refine_subpix=refine_subpix))
     if mesh is None:
         return jax.jit(fn)(images)
 

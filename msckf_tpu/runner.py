@@ -61,7 +61,10 @@ def _load_sequence(args):
         params = _load_xfeat_weights(args)
         if params is None:
             params = init_params(jax.random.key(0))
-        fn = jax.jit(ft.partial(detect_and_compute, top_k=300))
+        fn = jax.jit(ft.partial(
+            detect_and_compute, top_k=300,
+            refine_subpix=getattr(args, "refine_subpix", False),
+        ))
         kps, descs, scores = [], [], []
         for img in seq.images:
             k, d, s, v = jax.device_get(fn(params, jnp.asarray(img)))
@@ -148,7 +151,8 @@ def _load_sequence(args):
 
         image_paths = cams["image_path"].tolist()
         kps, descs, scores = extract_sequence_features(
-            image_paths, top_k=300, params=_load_xfeat_weights(args)
+            image_paths, top_k=300, params=_load_xfeat_weights(args),
+            refine_subpix=getattr(args, "refine_subpix", False),
         )
     n = len(cam_ticks)
     return (imu_ts, gyro, acc, cam_ticks, kps[:n], descs[:n], scores[:n],
@@ -334,6 +338,12 @@ def main(argv=None):
         "double-word f32 (the TPU-native island). 'none': plain dtype",
     )
     ap.add_argument("--only_imu", action="store_true")
+    ap.add_argument(
+        "--refine_subpix", action="store_true",
+        help="subpixel (3x3 quadratic) refinement of XFeat keypoint "
+        "coordinates before they enter the filter (enhancement beyond the "
+        "upstream-exact detector; descriptors/matching unchanged)",
+    )
     ap.add_argument(
         "--prune_path", default="", choices=["", "cond", "masked"],
         help="window-saturation prune dispatch (MSCKFConfig.prune_path): "

@@ -100,3 +100,24 @@ def test_frontend_match_semantics():
     i1, i2 = FeatureExtractor.match(fx, d1, d2, min_cossim=0.9)
     assert len(i1) == 20
     np.testing.assert_array_equal(perm[i2], i1)
+
+
+def test_detect_refine_subpix(params):
+    """refine_subpix moves only the coordinates, by less than half a pixel
+    per axis (pre-rescale); descriptors, scores, and validity are untouched
+    (the flag is off by default == upstream-exact)."""
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 255, size=(96, 128)).astype(np.float32))
+    k0, d0, s0, v0 = jax.device_get(detect_and_compute(params, img, top_k=64))
+    k1, d1, s1, v1 = jax.device_get(
+        detect_and_compute(params, img, top_k=64, refine_subpix=True)
+    )
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(s0, s1)
+    np.testing.assert_array_equal(v0, v1)
+    if np.any(v0):
+        # input 96x128 is already /32-aligned, so no rescale: offsets are the
+        # raw parabola vertices, each in [-0.5, 0.5]
+        off = np.abs(k1[v0] - k0[v0])
+        assert off.max() <= 0.5 + 1e-6
+        assert np.any(off > 0)  # the fit actually moves peaks

@@ -50,20 +50,22 @@ def test_trained_weights_matching_gate():
     """The committed self-supervised weights must match held-out warped pairs
     far above the random-weight baseline (~0 precision, <5 matches/pair).
 
-    The committed artifact (3000 + 6000 + 6000 continued steps, the last
-    round with rotation/scale-augmented homographies) measures 0.190@3px /
-    0.266@5px with ~52 matches/pair on the mild (VIO-like) eval and
-    0.139@3px on the full-augmentation eval — v2 scored 0.075 there, so
-    the augmentation doubled rotation robustness at equal VIO accuracy
-    (rendered-circle final ATE 0.003 m). Gates sit below with margin.
-    (Upstream-pretrained weights would score higher — this artifact's job is
-    a *functional* real-image front-end, proven by the rendered-sequence VIO
-    e2e, `test_rendered_e2e.py`.)"""
+    Yardstick note: the eval distribution changed in round 3 (the
+    ray-traced-boxes texture family joined `random_texture`, and
+    `random_homography` gained the rotation/scale similarity prefactor), so
+    precision numbers are not comparable across that change. The committed
+    v4 artifact measures on the CURRENT distribution: 0.569@3px mild /
+    0.537@3px full-augmentation (seed 999, 8 pairs), and 0.434@3px with ~85
+    matches/pair on this test's exact configuration (seed 123, 4 pairs,
+    mild). Gates sit below with margin. (Upstream-pretrained weights would
+    score higher — this artifact's job is a *functional* real-image
+    front-end, proven by the rendered-sequence VIO e2e,
+    `test_rendered_e2e.py`.)"""
     from msckf_tpu.models.train_xfeat import load_npz_params, match_accuracy
 
     variables = load_npz_params(WEIGHTS)
     prec, n_matches = match_accuracy(
         variables, np.random.default_rng(123), n_pairs=4, size=256, top_k=200
     )
-    assert prec >= 0.12, f"matching precision {prec:.3f} below gate"
-    assert n_matches >= 35, f"too few matches/pair: {n_matches:.0f}"
+    assert prec >= 0.35, f"matching precision {prec:.3f} below gate"
+    assert n_matches >= 60, f"too few matches/pair: {n_matches:.0f}"
