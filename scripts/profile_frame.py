@@ -5,7 +5,8 @@ jax.profiler, then aggregates the perfetto trace by HLO op name prefix and
 prints the top offenders + thunk counts. Drives the PERF.md optimization
 loop (VERDICT r2 #2: dispatch count is the bottleneck).
 
-Usage: python scripts/profile_frame.py [small|full] [--frames N]
+Usage: python scripts/profile_frame.py [small|full|batched] [--frames N]
+("batched": the vmapped 32-trajectory step, aggregated per frame-batch)
 """
 
 import glob
@@ -28,17 +29,39 @@ def build(cfg_kind: str):
     from msckf_tpu.data.synthetic import generate_circle_sequence
 
     seq = generate_circle_sequence(rng=np.random.default_rng(0))
-    if cfg_kind == "small":
+    if cfg_kind == "full":
+        cfg = reference_experiment_config(dtype="float32")
+    else:  # small + batched share the fixture-sized capacities
         cfg = reference_experiment_config(
             dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16
         )
-    else:
-        cfg = reference_experiment_config(dtype="float32")
     st = build_stream(
         cfg, seq.timestamps, seq.imu_gyro, seq.imu_acc, seq.cam_frame_ticks,
         seq.cam_keypoints, seq.cam_descriptors, seq.cam_scores,
     )
     std = to_device(st, cfg)
+    n_frames = std.frames["imu_ts"].shape[0]
+
+    if cfg_kind == "batched":
+        import jax.numpy as jnp
+
+        from msckf_tpu.parallel.batched import (
+            batched_initial_state, batched_run_sequence,
+        )
+
+        B = 32
+        states = batched_initial_state(cfg, B, R_init=std.R_init)
+        rep = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+        prefix = {k: rep(v) for k, v in std.prefix.items()}
+        frames = {k: rep(v) for k, v in std.frames.items()}
+
+        def runb(states, prefix, frames):
+            final, _, _ = batched_run_sequence(cfg, states, prefix, frames)
+            return final.imu.p_WI
+
+        compiled = jax.jit(runb).lower(states, prefix, frames).compile()
+        return compiled, (states, prefix, frames), n_frames
+
     state = make_initial_state(cfg, std.R_init)
 
     def run(state, prefix, frames):
@@ -46,7 +69,6 @@ def build(cfg_kind: str):
         return final.imu.p_WI
 
     compiled = jax.jit(run).lower(state, std.prefix, std.frames).compile()
-    n_frames = std.frames["imu_ts"].shape[0]
     return compiled, (state, std.prefix, std.frames), n_frames
 
 
