@@ -109,6 +109,17 @@ class MSCKFConfig:
     # "lu" = always the LU custom call. Unbatched solves always use LU.
     batched_solver: str = "ns"
     solver_ns_iters: int = 12
+    # UNBATCHED correction-solve strategy (single-sequence f32 island):
+    # "lu":   jnp.linalg.solve on B^T Y = P (the LU custom call; default).
+    # "ns":   Newton-Schulz matmul iteration with the same residual-gated LU
+    #         fallback as the batched path — trades the serialized custom
+    #         call for MXU matmuls.
+    # "chol": L = P M^{-1} P with M = sigma^2 P + P A P (SPD, so one
+    #         Cholesky custom call instead of LU; exact identity
+    #         M = P (sigma^2 I + A P) = P B, hence P M^{-1} P = P B^{-1}).
+    #         Residual-gated LU fallback guards f32 loss of positive
+    #         definiteness (cond(M) ~ cond(P) cond(B)).
+    gain_solver: str = "lu"
     # EKF update-terms strategy (build_update_terms):
     # "hybrid": stacked-row MXU matmuls in XLA + one un-tiled batched-
     #           Cholesky gating kernel over the whole update batch (fastest

@@ -398,7 +398,17 @@ def _correction_terms(cfg: MSCKFConfig, P, A, c):
     # (A, P symmetric: the same products in the same contraction order as
     # (A P)^T), built directly so no transpose feeds the solve.
     Bt = sigma2 * jnp.eye(D, dtype=ct) + P @ A_
-    if ct == jnp.dtype("float32") and cfg.batched_solver == "ns":
+    if cfg.gain_solver == "ns":
+        # force Newton-Schulz (with LU fallback) even unbatched
+        from msckf_tpu.ops.solve import ns_solve_direct
+
+        Y = ns_solve_direct(Bt, P, iters=cfg.solver_ns_iters)
+    elif cfg.gain_solver == "chol":
+        # one SPD Cholesky instead of the LU custom call (see ops/solve.py)
+        from msckf_tpu.ops.solve import chol_gain_solve
+
+        Y = chol_gain_solve(P, A_, sigma2).T
+    elif ct == jnp.dtype("float32") and cfg.batched_solver == "ns":
         # under vmap: Newton-Schulz matmuls instead of the LU custom call,
         # which serializes across the batch (`ops/solve.py`); unbatched and
         # non-f32 islands use LU

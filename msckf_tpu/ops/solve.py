@@ -99,3 +99,54 @@ def gain_solve(
     internal to the rule, so only the chosen side executes).
     """
     return _gain_solve_cv(int(iters), float(rel_tol))(Bt, P)
+
+
+def _residual_gate(Bt, P, Y, rel_tol):
+    """Y if its residual is small, else the LU answer (NaN/inf -> LU)."""
+    res = jnp.max(jnp.abs(P - Bt @ Y)) / jnp.maximum(jnp.max(jnp.abs(P)), 1e-30)
+    return lax.cond(
+        res < rel_tol,  # NaN compares False
+        lambda _: Y,
+        lambda _: jnp.linalg.solve(Bt, P),
+        operand=None,
+    )
+
+
+def ns_solve_direct(
+    Bt: jnp.ndarray,
+    P: jnp.ndarray,
+    iters: int = 12,
+    rel_tol: float = 1e-4,
+) -> jnp.ndarray:
+    """Unconditionally-NS solve of Bt @ Y = P with the residual-gated LU
+    fallback — `MSCKFConfig.gain_solver="ns"`: trades the single-sequence LU
+    custom call for straight MXU matmuls."""
+    return _residual_gate(Bt, P, _ns_solve(Bt, P, iters), rel_tol)
+
+
+def chol_gain_solve(
+    P: jnp.ndarray,
+    A: jnp.ndarray,
+    sigma2,
+    rel_tol: float = 1e-4,
+) -> jnp.ndarray:
+    """Kalman gain L = P (sigma^2 I + A P)^{-1} via one Cholesky.
+
+    Identity: M = sigma^2 P + P A P = P (sigma^2 I + A P) = P B, so
+    L = P B^{-1} = P M^{-1} P — and M is SPD (P SPD, P A P PSD), so the
+    pivoted LU custom call becomes a Cholesky one (and L is manifestly
+    symmetric, as P B^{-1} must be). cond(M) ~ cond(P) cond(B), so an f32
+    loss of positive definiteness is possible on ill-conditioned frames; the
+    same residual gate as the NS path falls back to LU on B^T then.
+    `MSCKFConfig.gain_solver="chol"`.
+    """
+    D = P.shape[-1]
+    eye = jnp.eye(D, dtype=P.dtype)
+    PA = P @ A
+    Bt = sigma2 * eye + PA  # B^T (P, A symmetric)
+    M = sigma2 * P + PA @ P
+    Lc = jnp.linalg.cholesky(M)
+    Y = jax.scipy.linalg.cho_solve((Lc, True), P)  # M^{-1} P
+    L = P @ Y
+    # gate on the original system: B^T L^T = P  (L^T = L candidate here)
+    return _residual_gate(Bt, P, L.T, rel_tol).T

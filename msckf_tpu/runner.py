@@ -352,6 +352,13 @@ def main(argv=None):
         "copies and the run-both-branches select under vmap)",
     )
     ap.add_argument(
+        "--gain_solver", default="", choices=["", "lu", "ns", "chol"],
+        help="unbatched correction-solve strategy (MSCKFConfig.gain_solver): "
+        "'lu' = LU custom call (default), 'ns' = Newton-Schulz matmuls, "
+        "'chol' = SPD Cholesky via L = P M^-1 P (both with residual-gated "
+        "LU fallback)",
+    )
+    ap.add_argument(
         "--rerun_live", action="store_true",
         help="stream telemetry to the Rerun viewer LIVE during the run "
         "(per fetched chunk; requires --stream_chunk and rerun-sdk). The "
@@ -391,6 +398,7 @@ def main(argv=None):
             else {}
         ),
         **({"prune_path": args.prune_path} if args.prune_path else {}),
+        **({"gain_solver": args.gain_solver} if args.gain_solver else {}),
     )
 
     # Activate the f64 correction island (MSCKFConfig.correction_dtype) on
