@@ -13,6 +13,7 @@ mutation is a static-shape scatter:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from msckf_tpu.config import MSCKFConfig
@@ -184,29 +185,70 @@ def resolve_cam_slots(obs_cam_id: jnp.ndarray, cam_ids: jnp.ndarray) -> tuple[jn
     return slots, found
 
 
-def select_rows(idx: jnp.ndarray, ok, x: jnp.ndarray) -> jnp.ndarray:
-    """``x[idx]`` (rows with ``~ok`` zeroed) as broadcast-compare + masked
-    reduce instead of a gather.
+def _select_rows_gather(idx: jnp.ndarray, ok: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Unbatched primal of :func:`select_rows`: a plain row gather.
 
-    TPU gathers lower to slow serialized loops, and under vmap the row
-    gathers of the update compaction measured ~2 ms/frame each (the three
-    hottest ops of the batched filter). The compare+reduce form is
-    bit-exact for every dtype — the reduce adds the one selected row to
-    zeros, with no one-hot-matmul rounding — and inf-safe (``jnp.where``,
-    never multiply-by-zero; see docs/numerics.md on inf*0 poisoning).
+    Single-sequence gathers with a contiguous output are fast on TPU (it is
+    only *batch-varying* gathers under vmap that serialize); rebuilding the
+    807 Hz full-shape path means the unbatched filter must keep this form.
+    """
+    out = x[jnp.clip(idx, 0, x.shape[0] - 1)]
+    mask = ok.reshape(ok.shape + (1,) * (x.ndim - 1))
+    if x.dtype == jnp.bool_:
+        return mask & out
+    return jnp.where(mask, out, 0)
 
-    ``idx``: (U,) int32 row indices into ``x``'s leading axis (F).
-    ``ok``: (U,) bool or True; rows with ``ok=False`` come back zero/False.
+
+def _select_rows_compare(idx: jnp.ndarray, ok: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Batched form of :func:`select_rows`: broadcast-compare + masked reduce.
+
+    Bit-exact vs the gather for in-range rows — the reduce adds the one
+    selected row to zeros, with no one-hot-matmul rounding — and inf-safe
+    (``jnp.where``, never multiply-by-zero; see docs/numerics.md on inf*0
+    poisoning).
     """
     F = x.shape[0]
-    oh = idx[:, None] == jnp.arange(F)  # (U, F)
-    if ok is not True:
-        oh = oh & ok[:, None]
+    oh = (idx[:, None] == jnp.arange(F)) & ok[:, None]  # (U, F)
     mask = oh.reshape(oh.shape + (1,) * (x.ndim - 1))
     if x.dtype == jnp.bool_:
         return jnp.any(mask & x[None], axis=1)
     # dtype pinned: jnp.sum would promote int32 -> int64 under x64
     return jnp.sum(jnp.where(mask, x[None], 0), axis=1, dtype=x.dtype)
+
+
+@jax.custom_batching.custom_vmap
+def _select_rows(idx, ok, x):
+    return _select_rows_gather(idx, ok, x)
+
+
+@_select_rows.def_vmap
+def _select_rows_vmap_rule(axis_size, in_batched, idx, ok, x):
+    idx_b, ok_b, x_b = in_batched
+    out = jax.vmap(
+        _select_rows_compare,
+        in_axes=(0 if idx_b else None, 0 if ok_b else None, 0 if x_b else None),
+    )(idx, ok, x)
+    return out, True
+
+
+def select_rows(idx: jnp.ndarray, ok, x: jnp.ndarray) -> jnp.ndarray:
+    """``x[idx]`` with rows where ``~ok`` zeroed — batching-aware.
+
+    Unbatched this is a plain row gather (fast on TPU: the output is one
+    contiguous block). Under ``vmap`` — the batched multi-trajectory filter —
+    XLA lowers batch-varying gathers to slow serialized loops (the three
+    hottest ops of the batch-32 filter, ~2 ms/frame each), so a
+    ``custom_vmap`` rule swaps in the broadcast-compare + masked-reduce form.
+    The two are bit-exact for in-range indices (the reduce adds the single
+    selected row to zeros); every call site pre-clips ``idx`` and masks
+    garbage rows via ``ok`` downstream.
+
+    ``idx``: (U,) int32 row indices into ``x``'s leading axis (F).
+    ``ok``: (U,) bool or True; rows with ``ok=False`` come back zero/False.
+    """
+    if ok is True:
+        ok = jnp.ones(idx.shape, dtype=bool)
+    return _select_rows(idx, ok, x)
 
 
 def gather_cam_poses(obs_cam_id: jnp.ndarray, cams) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
