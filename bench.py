@@ -233,14 +233,19 @@ def main():
     # (1) round-1 configuration: capacities sized to the sequence (validated:
     # zero overflow, identical trajectory vs f_max=512). desc_dim 16 covers
     # the synthetic 10-d descriptors.
+    # gain_solver="ns": Newton-Schulz matmuls for the correction solve beat
+    # the serialized LU custom call on-chip (scripts/probe_solve.py, v5e:
+    # small 1424->1660 Hz, full 646->688 Hz); golden-trace parity for all
+    # three variants is pinned by tests/test_parity_fuzz.py.
     cfg_small = reference_experiment_config(
-        dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16
+        dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16,
+        gain_solver="ns",
     )
     small_hz, small_flops = bench_filter(jax, jnp, cfg_small, seq)
 
     # (2) reference-shaped capacities: room for 300 extracted keypoints,
     # 64-d descriptors, the default track budget (`config.py` defaults).
-    cfg_full = reference_experiment_config(dtype="float32")
+    cfg_full = reference_experiment_config(dtype="float32", gain_solver="ns")
     full_hz, full_flops = bench_filter(jax, jnp, cfg_full, seq)
 
     # (4) pure propagation rate (BASELINE config 1; reference ~171 Hz with a

@@ -11,6 +11,7 @@ prescribes. Each device runs the full fixed-shape filter scan for its shard.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -22,6 +23,22 @@ from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.msckf import frame_step, make_initial_state, run_sequence
 from msckf_tpu.filter.state import FilterState
 from msckf_tpu.ops.precision import with_f32_matmuls
+
+
+def _batched_dispatch(cfg: MSCKFConfig) -> MSCKFConfig:
+    """Kernel-switch overrides for the vmapped path.
+
+    The triage kernel's custom_vmap rule adds a batch GRID dimension, which
+    Mosaic executes as a sequential per-trajectory loop, while the XLA
+    fallback vectorizes the batch natively — measured at batch 32 on v5e
+    (scripts/probe_batched_pallas.py): triage off 1977 agg Hz vs 1839 all-on.
+    The propagation kernel's batched form is neutral-to-better (1839 vs 1826
+    with it off), so it stays on. The shard_map path (one trajectory per
+    device) traces the UNBATCHED program and keeps every kernel.
+    """
+    if cfg.use_pallas and cfg.use_pallas_triage:
+        cfg = dataclasses.replace(cfg, use_pallas_triage=False)
+    return cfg
 
 
 def batched_initial_state(cfg: MSCKFConfig, batch: int, R_init=None) -> FilterState:
@@ -45,12 +62,14 @@ def batched_run_sequence(cfg: MSCKFConfig, states: FilterState, prefix: dict, fr
 
     ``prefix``/``frames`` carry a leading batch axis on every array.
     """
+    cfg = _batched_dispatch(cfg)
     return jax.vmap(lambda s, p, f: run_sequence(cfg, s, p, f))(states, prefix, frames)
 
 
 @with_f32_matmuls
 def batched_frame_step(cfg: MSCKFConfig, states: FilterState, frames: dict):
     """One camera-frame block for a batch of independent filters."""
+    cfg = _batched_dispatch(cfg)
     return jax.vmap(lambda s, f: frame_step(cfg, s, f))(states, frames)
 
 
