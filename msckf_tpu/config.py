@@ -151,13 +151,18 @@ class MSCKFConfig:
     # "classic" preset's zero-acceleration straights) plain f32 diverges
     # (classic, 10798 ticks: f32 588 m final ATE vs f64 7 m; f32 with the
     # f64 island: 11.8 m). Options:
-    #   "float64":     cast the chain to f64 — needs jax_enable_x64, so
-    #                  CPU-only (this TPU has no f64 and x64 SIGABRTs
-    #                  Mosaic); silently inactive without x64.
+    #   "float64":     cast the chain to f64 when jax_enable_x64 is on
+    #                  (CPU-only: this TPU has no f64 and x64 SIGABRTs
+    #                  Mosaic). Without x64 it SAFE-DEGRADES to the
+    #                  compensated island below (round 4; it used to fall
+    #                  through to plain f32 silently — the exact failure
+    #                  mode the island exists for).
     #   "compensated": double-word (two-float Dekker/Knuth) f32 arithmetic
     #                  (`ops/compensated.py`) — the TPU-native equivalent,
     #                  ~2^-48 effective precision under plain XLA-TPU.
-    #   anything else: plain ``dtype``.
+    #   "float32":     plain ``dtype`` — the explicit fast-path opt-out for
+    #                  short/well-conditioned sequences (bench-measured cost
+    #                  of the island: extra.compensated_cost_pct).
     correction_dtype: str = "float64"
 
     def __post_init__(self):

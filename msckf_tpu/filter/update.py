@@ -476,8 +476,16 @@ def apply_correction(cfg: MSCKFConfig, state: FilterState, A: jnp.ndarray, c: jn
 
     # precision island (see MSCKFConfig.correction_dtype): the solve/Joseph
     # chain carries the squared Jacobian conditioning and is the one place
-    # f32 round-off destabilizes the filter on long sequences
-    if cfg.correction_dtype == "compensated" and dt_ == jnp.dtype("float32"):
+    # f32 round-off destabilizes the filter on long sequences.
+    # Safe-degrade (round-4): "float64" WITHOUT x64 available used to fall
+    # through to plain f32 silently — exactly the failure mode the island
+    # exists for (classic, 10798 ticks: plain f32 ends 588 m off). On
+    # backends without f64 the f64 request now degrades to the compensated
+    # double-word island, not to plain f32; "float32" opts out explicitly.
+    want_compensated = cfg.correction_dtype == "compensated" or (
+        cfg.correction_dtype == "float64" and not jax.config.jax_enable_x64
+    )
+    if want_compensated and dt_ == jnp.dtype("float32"):
         delta, P_new = _correction_terms_compensated(cfg, state.P, A, c)
     else:
         delta, P_new = _correction_terms(cfg, state.P, A, c)

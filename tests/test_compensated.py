@@ -179,3 +179,50 @@ def test_compensated_filter_tracks_f64_island():
 
     # identical sequence; differences only from sub-f32 round-off paths
     assert np.linalg.norm(outs["compensated"] - outs["float64"]) < 5e-3
+
+
+def test_float64_without_x64_safe_degrades_to_compensated(monkeypatch):
+    """Round-4 default change (VERDICT r3 next #3): requesting the f64 island
+    on a backend without x64 must dispatch to the compensated island, never
+    silently to plain f32. "float32" remains the explicit opt-out."""
+    import dataclasses
+
+    import jax
+
+    import msckf_tpu.filter.update as up
+    from msckf_tpu.config import reference_experiment_config
+    from msckf_tpu.filter.state import init_state
+
+    calls = []
+    orig = up._correction_terms_compensated
+    monkeypatch.setattr(
+        up, "_correction_terms_compensated",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+
+    cfg = reference_experiment_config(
+        dtype="float32", f_max=16, u_max=8, k_max=16, desc_dim=10,
+        max_camera_states=4, n_cam_slots=5, m_max=5,
+        correction_dtype="float64",
+    )
+    state = init_state(cfg)
+    D = cfg.err_dim
+    A = jnp.zeros((D, D), jnp.float32)
+    c = jnp.zeros((D,), jnp.float32)
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        up.apply_correction(cfg, state, A, c)
+        assert calls, "float64 without x64 must route to the compensated island"
+
+        calls.clear()
+        cfg32 = dataclasses.replace(cfg, correction_dtype="float32")
+        up.apply_correction(cfg32, state, A, c)
+        assert not calls, '"float32" must opt out of the island'
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+    # with x64 available the f64 island handles it, compensated stays cold
+    calls.clear()
+    up.apply_correction(cfg, state, A, c)
+    assert not calls
