@@ -147,9 +147,9 @@ def run_sequence_streamed(
 
 @functools.lru_cache(maxsize=None)
 def _batched_chunk_fn(cfg: MSCKFConfig):
-    from msckf_tpu.parallel.batched import _batched_dispatch
+    from msckf_tpu.parallel.batched import batched_dispatch
 
-    cfg = _batched_dispatch(cfg)  # vmapped-path kernel switches (see batched.py)
+    cfg = batched_dispatch(cfg)  # vmapped-path kernel switches (see batched.py)
     fn = lambda st, fr: jax.vmap(
         lambda s, f: run_filter(cfg, s, f, assume_camera=False)
     )(st, fr)
@@ -158,9 +158,9 @@ def _batched_chunk_fn(cfg: MSCKFConfig):
 
 @functools.lru_cache(maxsize=None)
 def _batched_prefix_fn(cfg: MSCKFConfig):
-    from msckf_tpu.parallel.batched import _batched_dispatch
+    from msckf_tpu.parallel.batched import batched_dispatch
 
-    cfg = _batched_dispatch(cfg)
+    cfg = batched_dispatch(cfg)
     return jax.jit(
         lambda st, pre: jax.vmap(lambda s, p: propagate_prefix(cfg, s, p))(st, pre)
     )

@@ -25,7 +25,7 @@ from msckf_tpu.filter.state import FilterState
 from msckf_tpu.ops.precision import with_f32_matmuls
 
 
-def _batched_dispatch(cfg: MSCKFConfig) -> MSCKFConfig:
+def batched_dispatch(cfg: MSCKFConfig) -> MSCKFConfig:
     """Kernel-switch overrides for the vmapped path.
 
     The triage kernel's custom_vmap rule adds a batch GRID dimension, which
@@ -35,10 +35,47 @@ def _batched_dispatch(cfg: MSCKFConfig) -> MSCKFConfig:
     The propagation kernel's batched form is neutral-to-better (1839 vs 1826
     with it off), so it stays on. The shard_map path (one trajectory per
     device) traces the UNBATCHED program and keeps every kernel.
+
+    Numerics note: on TPU this makes the vmapped path run the XLA triage
+    fallback while the unbatched/shard_map paths run the Pallas kernel; the
+    two agree only to ~2e-4 (tests/test_triage_fused.py), so batched-vs-
+    single trajectories can diverge slightly ON CHIP. The strict
+    `test_parallel.py::test_batched_matches_single` contract holds on the
+    CPU/f64 lane where every kernel is off; kernel-level vmap equivalence is
+    pinned in interpret mode (tests/test_pallas_batched.py), and the
+    end-to-end cross-path interpret-lane test
+    (tests/test_parallel.py::test_cross_path_interpret_parity) guards the
+    dispatch split itself.
+
+    Probing: pass ``dispatch_auto=False`` to the batched entry points to
+    bypass these overrides (e.g. to re-probe the batched triage kernel after
+    a Mosaic fix — scripts/probe_batched_pallas.py does).
+
+    Correction island (round 4): the compensated double-word island must not
+    run under vmap — its refined_solve does 6 LU custom calls that serialize
+    across the batch (measured 309 ms/frame at batch 32 x D=207, ~20x the
+    whole frame step), and the full batched scan with it reproducibly
+    CRASHES the TPU worker ("kernel fault"). The vmapped path therefore
+    degrades `compensated` (and the f64 request that safe-degrades to it
+    without x64, see `update.apply_correction`) to plain f32 — exactly the
+    round-3 batched behavior. With x64 available (CPU lanes) the f64 island
+    is kept, so batched==single parity tests are unaffected. On-chip long
+    sequences that need the island should scale via shard_map (which traces
+    the unbatched program and keeps it) or the streamed runner's shard_map
+    mode.
     """
     if cfg.use_pallas and cfg.use_pallas_triage:
         cfg = dataclasses.replace(cfg, use_pallas_triage=False)
+    want_island = cfg.correction_dtype == "compensated" or (
+        cfg.correction_dtype == "float64" and not jax.config.jax_enable_x64
+    )
+    if want_island and cfg.jdtype == jnp.dtype("float32"):
+        cfg = dataclasses.replace(cfg, correction_dtype="float32")
     return cfg
+
+
+# backward-compat alias (pre-round-4 private name)
+_batched_dispatch = batched_dispatch
 
 
 def batched_initial_state(cfg: MSCKFConfig, batch: int, R_init=None) -> FilterState:
@@ -57,20 +94,37 @@ def batched_initial_state(cfg: MSCKFConfig, batch: int, R_init=None) -> FilterSt
 
 
 @with_f32_matmuls
-def batched_run_sequence(cfg: MSCKFConfig, states: FilterState, prefix: dict, frames: dict):
+def batched_run_sequence(cfg: MSCKFConfig, states: FilterState, prefix: dict,
+                         frames: dict, dispatch_auto: bool = True,
+                         assume_camera: bool = False):
     """vmap the full sequence scan across a trajectory batch.
 
     ``prefix``/``frames`` carry a leading batch axis on every array.
+    ``dispatch_auto=False`` skips the vmapped-path kernel overrides
+    (``batched_dispatch``) — probe/diagnostic use only.
+
+    ``assume_camera`` matters MORE here than unbatched: under vmap the
+    per-frame has_camera ``lax.cond`` becomes run-both-branches + a select
+    over every carried leaf — (B, F, M, C) track buffers and the (B, D, D)
+    covariance copied every frame. Pass True whenever the stream builder
+    reports all-camera frame blocks (build_stream always produces them).
     """
-    cfg = _batched_dispatch(cfg)
-    return jax.vmap(lambda s, p, f: run_sequence(cfg, s, p, f))(states, prefix, frames)
+    if dispatch_auto:
+        cfg = batched_dispatch(cfg)
+    return jax.vmap(
+        lambda s, p, f: run_sequence(cfg, s, p, f, assume_camera=assume_camera)
+    )(states, prefix, frames)
 
 
 @with_f32_matmuls
-def batched_frame_step(cfg: MSCKFConfig, states: FilterState, frames: dict):
+def batched_frame_step(cfg: MSCKFConfig, states: FilterState, frames: dict,
+                       dispatch_auto: bool = True, assume_camera: bool = False):
     """One camera-frame block for a batch of independent filters."""
-    cfg = _batched_dispatch(cfg)
-    return jax.vmap(lambda s, f: frame_step(cfg, s, f))(states, frames)
+    if dispatch_auto:
+        cfg = batched_dispatch(cfg)
+    return jax.vmap(
+        lambda s, f: frame_step(cfg, s, f, assume_camera=assume_camera)
+    )(states, frames)
 
 
 def data_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -122,7 +176,7 @@ def shardmap_run_sequence(cfg: MSCKFConfig, mesh: Mesh):
     return jax.jit(fn)
 
 
-def sharded_run_sequence(cfg: MSCKFConfig, mesh: Mesh):
+def sharded_run_sequence(cfg: MSCKFConfig, mesh: Mesh, assume_camera: bool = False):
     """jit-compiled batched sequence runner with batch-axis sharding.
 
     XLA partitions every per-trajectory op along the batch axis; because
@@ -134,6 +188,8 @@ def sharded_run_sequence(cfg: MSCKFConfig, mesh: Mesh):
     @functools.partial(jax.jit, static_argnums=())
     def run(states, prefix, frames):
         states = jax.lax.with_sharding_constraint(states, batch_sharding)
-        return batched_run_sequence(cfg, states, prefix, frames)
+        return batched_run_sequence(
+            cfg, states, prefix, frames, assume_camera=assume_camera
+        )
 
     return run

@@ -570,10 +570,11 @@ def _run_batched(args, cfg):
 
     import dataclasses
 
-    # Pallas kernels stay on: vmap dispatches each kernel to an explicit
-    # batch grid dimension (custom_vmap rules in ops/pallas_kernels.py).
-    # Buffers sized for the synthetic fixture (validated zero-overflow, see
-    # bench.py).
+    # Kernel dispatch on the vmapped path is decided per-kernel by
+    # parallel.batched.batched_dispatch (triage routes to the natively
+    # vectorizing XLA fallback; propagation/gating kernels stay on via their
+    # custom_vmap batch grids). Buffers sized for the synthetic fixture
+    # (validated zero-overflow, see bench.py).
     cfg = dataclasses.replace(cfg, f_max=192, u_max=32, k_max=256, desc_dim=16)
 
     B = args.batch

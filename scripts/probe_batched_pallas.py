@@ -25,8 +25,12 @@ seq = generate_circle_sequence(rng=np.random.default_rng(0))
 BATCH = 32
 
 def probe(label, **kw):
+    # correction_dtype pinned: dispatch_auto=False bypasses batched_dispatch,
+    # which normally degrades the island under vmap — the compensated island
+    # crashes the TPU worker batched (parallel/batched.py round-4 note)
     cfg = reference_experiment_config(
-        dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16, **kw)
+        dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16,
+        correction_dtype="float32", **kw)
     st = build_stream(cfg, seq.timestamps, seq.imu_gyro, seq.imu_acc,
                       seq.cam_frame_ticks, seq.cam_keypoints,
                       seq.cam_descriptors, seq.cam_scores)
@@ -37,7 +41,14 @@ def probe(label, **kw):
     prefix = {k: rep(v) for k, v in std.prefix.items()}
     frames = {k: rep(v) for k, v in std.frames.items()}
     def run(states, prefix, frames):
-        final, _, _ = batched_run_sequence(cfg, states, prefix, frames)
+        # dispatch_auto=False: measure the EXACT kernel-switch combination
+        # requested, bypassing batched_dispatch's vmapped-path overrides
+        # (otherwise the "all on" / "propagation off" configs would silently
+        # measure triage-off and the batched triage kernel could never be
+        # re-probed after a Mosaic fix).
+        final, _, _ = batched_run_sequence(
+            cfg, states, prefix, frames, dispatch_auto=False
+        )
         return jnp.max(jnp.linalg.norm(final.imu.p_WI, axis=-1))
     compiled = jax.jit(run).lower(states, prefix, frames).compile()
     jax.device_get(compiled(states, prefix, frames))
