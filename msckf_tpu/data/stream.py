@@ -28,6 +28,10 @@ class PreparedStream(NamedTuple):
     prefix: dict  # propagate-only ticks before the first processed frame
     frames: dict  # frame blocks for the main scan
     n_ticks: int  # total IMU ticks represented
+    # indices into the CALLER's camera arrays (pre-skip) of each processed
+    # frame block, aligned with frames' leading axis — lets image-in
+    # pipelines (msckf_tpu/pipeline.py) select the matching image stack
+    proc_cam_idx: np.ndarray | None = None
 
 
 def gravity_align_numpy(mean_acc: np.ndarray, gravity: np.ndarray) -> np.ndarray:
@@ -76,12 +80,14 @@ def build_stream(
     max_ticks: int | None = None,
     skip_first_frame: bool = True,
 ) -> PreparedStream:
+    orig_cam_idx = np.arange(len(np.asarray(cam_ticks)))
     if skip_first_frame:
         # the driver never consumes camera index 0 (`main.py:252`)
         cam_ticks = np.asarray(cam_ticks)[1:]
         cam_keypoints = list(cam_keypoints)[1:]
         cam_descriptors = list(cam_descriptors)[1:]
         cam_scores = list(cam_scores)[1:]
+        orig_cam_idx = orig_cam_idx[1:]
     f64 = np.float64
     imu_ts = np.asarray(imu_ts, f64)
     imu_gyro = np.asarray(imu_gyro, f64)
@@ -90,6 +96,7 @@ def build_stream(
     cam_ticks = np.asarray(cam_ticks, np.int64)
     keep = cam_ticks < T
     cam_ticks = cam_ticks[keep]
+    orig_cam_idx = orig_cam_idx[keep]
     if len(cam_ticks) < 2:
         raise ValueError("need at least two camera frames (init trigger + one)")
 
@@ -154,7 +161,10 @@ def build_stream(
         score=score,
         kp_valid=kp_valid,
     )
-    return PreparedStream(R_init=R_init, prefix=prefix, frames=frames, n_ticks=T)
+    return PreparedStream(
+        R_init=R_init, prefix=prefix, frames=frames, n_ticks=T,
+        proc_cam_idx=orig_cam_idx[1:],
+    )
 
 
 def to_device(stream: PreparedStream, cfg: MSCKFConfig) -> PreparedStream:
@@ -177,6 +187,7 @@ def to_device(stream: PreparedStream, cfg: MSCKFConfig) -> PreparedStream:
         prefix=cast(stream.prefix),
         frames=cast(stream.frames),
         n_ticks=stream.n_ticks,
+        proc_cam_idx=stream.proc_cam_idx,
     )
 
 
@@ -205,4 +216,35 @@ def suggest_capacities(cam_keypoints, max_camera_states: int = 30) -> dict:
         u_max=48,
         m_max=max_camera_states + 2,
         n_cam_slots=max_camera_states + 2,
+    )
+
+
+IMU_FRAME_KEYS = ("imu_ts", "imu_gyro", "imu_acc", "imu_valid")
+
+
+def build_image_stream(
+    cfg: MSCKFConfig,
+    imu_ts: np.ndarray,
+    imu_gyro: np.ndarray,
+    imu_acc: np.ndarray,
+    cam_ticks: np.ndarray,
+    max_ticks: int | None = None,
+    skip_first_frame: bool = True,
+) -> PreparedStream:
+    """`build_stream` for the image-in fused pipeline (msckf_tpu/pipeline.py):
+    no pre-extracted features — `frames` carries only the IMU block keys, and
+    `proc_cam_idx` selects the matching rows of the caller's image stack
+    (images[stream.proc_cam_idx] aligns with frames' leading axis)."""
+    C = len(np.asarray(cam_ticks))
+    empty_kp = [np.zeros((0, 2))] * C
+    empty_ds = [np.zeros((0, cfg.desc_dim))] * C
+    empty_sc = [np.zeros((0,))] * C
+    st = build_stream(
+        cfg, imu_ts, imu_gyro, imu_acc, cam_ticks, empty_kp, empty_ds,
+        empty_sc, max_ticks=max_ticks, skip_first_frame=skip_first_frame,
+    )
+    frames = {k: st.frames[k] for k in IMU_FRAME_KEYS}
+    return PreparedStream(
+        R_init=st.R_init, prefix=st.prefix, frames=frames,
+        n_ticks=st.n_ticks, proc_cam_idx=st.proc_cam_idx,
     )

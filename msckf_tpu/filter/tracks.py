@@ -44,7 +44,10 @@ def spawn_tracks(
     callers can thread a slim carry through their lax.cond branches.
     """
     dt_ = cfg.jdtype
-    F, K = cfg.f_max, cfg.k_max
+    # K from the input, not cfg.k_max: the fused image-in pipeline feeds
+    # (top_k, ...) CNN buffers directly (msckf_tpu/pipeline.py); stream-built
+    # paths pass k_max-padded buffers as before
+    F, K = cfg.f_max, kp.shape[0]
 
     # free slots in slot order
     free_order = jnp.sort(jnp.where(~tr.valid, jnp.arange(F), F))  # (F,)
