@@ -1,30 +1,43 @@
-"""Headline benchmark: full MSCKF camera-update loop rate on one chip.
+"""Headline benchmark: fused image-in VIO rate on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Baseline: the reference's camera-update loop runs at ~7 Hz on a laptop CPU
 (`/root/reference/README.md:29`; one loop = XFeat CNN inference + feature
 matching + geometric verification + triage/triangulation + gated EKF update +
-marginalization + that frame's 10 IMU propagation steps). North-star target
-(BASELINE.json): >500 Hz on one v5e chip.
+marginalization + that frame's 10 IMU propagation steps).
 
-Three measurements (VERDICT.md round-1 item 3):
+Round-4 headline (VERDICT r3 next #2): ``value`` is the measured rate of ONE
+fused device program — image in, detect_and_compute -> match -> verify ->
+EKF update -> prune, scanned over a 640x480 ray-traced sequence with real
+(committed) XFeat weights (`msckf_tpu/pipeline.py`), apples-to-apples with
+the reference's feature_callback loop (`MSCKF.py:147-158`). The rounds-1..3
+composed estimate (separately timed CNN + filter, summed) is kept as
+``extra.e2e_sum_hz`` for continuity.
 
-  * ``value`` / ``e2e_cnn_hz`` — the headline: CNN-INCLUSIVE end-to-end rate
-    (XFeat detectAndCompute on a 640x480 frame + one reference-shaped filter
-    frame block), the apples-to-apples number against the reference's 7 Hz.
+Other measurements:
   * ``extra.filter_full_hz`` — filter-only rate at reference-shaped
     capacities (k_max=512, desc_dim=64, f_max=768, u_max=128).
   * ``extra.filter_small_hz`` — filter-only rate at capacities auto-sized to
-    the synthetic circle sequence (f_max=192, k_max=256, desc_dim=16): the
-    round-1 headline configuration, kept for continuity.
-  * ``extra.mfu_pct`` — FLOPs-based utilization from XLA's compiled cost
-    analysis against the chip's bf16 peak. Expected to be very low: the
-    filter is tiny-matrix sequential work (207x207 covariance algebra), not
-    a dense-matmul workload.
+    the synthetic circle sequence (f_max=192, k_max=256, desc_dim=16).
+  * ``extra.batched_agg_hz`` / ``batched_mfu_pct`` — vmap-batched
+    multi-trajectory aggregate at batch 32 (BASELINE config 5).
+  * ``extra.compensated_cost_pct`` — latency cost of the compensated
+    correction island (the TPU-safe default for long sequences; the short
+    bench sequences pin correction_dtype="float32", the documented opt-out).
+  * ``extra.*_spread_pct`` — (max-min)/median across timing passes
+    (VERDICT r3 next #5: quantify tunnel/host contention).
+  * ``extra.mfu_pct`` — FLOPs-based utilization of the fused program against
+    the chip's bf16 peak. Expected very low: a 207x207-covariance sequential
+    filter is not a dense-matmul workload.
+
+Measurement hygiene: per-frame op latencies measured right after a big
+in-process compile/run are inflated ~100x (dispatch-queue poisoning) —
+the standalone XFeat latency is timed FIRST.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -42,6 +55,10 @@ PEAK_BF16_FLOPS = {
     "TPU v6 lite": 918e12,
     "TPU v6e": 918e12,
 }
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+WEIGHTS = os.path.join(REPO, "weights", "xfeat_selfsup.npz")
+RENDER_CACHE = os.path.join(REPO, ".jax_cache", "bench_rendered_640x480_v1.npz")
 
 
 def _flops_of(compiled) -> float:
@@ -61,7 +78,18 @@ def _time_reps(fn, reps):
     return (time.perf_counter() - t0) / reps, out
 
 
-def bench_filter(jax, jnp, cfg, seq):
+def _passes(fn, reps, n_passes=3):
+    """median and spread over n_passes timing passes of `reps` calls each."""
+    ps = []
+    for _ in range(n_passes):
+        dt, _ = _time_reps(fn, reps)
+        ps.append(dt)
+    med = sorted(ps)[len(ps) // 2]
+    spread = (max(ps) - min(ps)) / med * 100.0
+    return med, spread
+
+
+def bench_filter(jax, jnp, cfg, seq, spread_out=None, key=None):
     """Filter-only camera-loop rate for one config. Returns (hz, flops/rep)."""
     from msckf_tpu import make_initial_state, run_sequence
     from msckf_tpu.data.stream import build_stream, to_device
@@ -93,22 +121,19 @@ def bench_filter(jax, jnp, cfg, seq):
     assert int(overflow) == 0, "capacity overflow: benchmark config undersized"
 
     n_frames = std.frames["imu_ts"].shape[0]
-    # median of three 5-rep passes: single-pass numbers vary a few percent
-    # with tunnel/host interference
-    passes = []
-    for _ in range(3):
-        dt, _ = _time_reps(
-            lambda: jax.device_get(compiled(state, std.prefix, std.frames)), 5
-        )
-        passes.append(dt)
-    return n_frames / sorted(passes)[1], _flops_of(compiled) / n_frames
+    dt, spread = _passes(
+        lambda: jax.device_get(compiled(state, std.prefix, std.frames)), 5
+    )
+    if spread_out is not None and key is not None:
+        spread_out[key] = round(spread, 1)
+    return n_frames / dt, _flops_of(compiled) / n_frames
 
 
 def bench_batched(jax, jnp, cfg, seq, batch):
     """Aggregate throughput of the vmap-batched multi-trajectory filter on
     one chip (BASELINE config 5, SURVEY §5 "vmap N trajectories per chip") —
     the framework's utilization story. Returns (aggregate camera-updates/s,
-    flops/step-call)."""
+    flops/step-call, dt, spread)."""
     from msckf_tpu.data.stream import build_stream, to_device
     from msckf_tpu.parallel.batched import batched_initial_state, batched_run_sequence
 
@@ -126,7 +151,9 @@ def bench_batched(jax, jnp, cfg, seq, batch):
     )
 
     def run(states, prefix, frames):
-        final, _, _ = batched_run_sequence(cfg, states, prefix, frames)
+        final, _, _ = batched_run_sequence(
+            cfg, states, prefix, frames, assume_camera=True
+        )
         err = jnp.linalg.norm(final.imu.p_WI - gt_final, axis=-1)
         overflow = final.diag.n_track_overflow + final.diag.n_update_overflow
         return jnp.max(err), jnp.sum(overflow)
@@ -137,14 +164,11 @@ def bench_batched(jax, jnp, cfg, seq, batch):
     assert int(overflow) == 0, "batched bench capacity overflow"
 
     n_frames = std.frames["imu_ts"].shape[0]
-    passes = []
-    for _ in range(3):
-        dt, _ = _time_reps(
-            lambda: jax.device_get(compiled(states, prefix, frames)), 3
-        )
-        passes.append(dt)
-    agg_hz = batch * n_frames / sorted(passes)[1]
-    return agg_hz, _flops_of(compiled), sorted(passes)[1]
+    dt, spread = _passes(
+        lambda: jax.device_get(compiled(states, prefix, frames)), 3
+    )
+    agg_hz = batch * n_frames / dt
+    return agg_hz, _flops_of(compiled), dt, spread
 
 
 def bench_xfeat(jax, jnp, top_k=300, width=640, height=480):
@@ -161,11 +185,96 @@ def bench_xfeat(jax, jnp, top_k=300, width=640, height=480):
     kp, desc, sc, valid = compiled(params, img)  # warm-up
     jax.block_until_ready(kp)
 
-    reps = 20
-    dt, out = _time_reps(
-        lambda: jax.block_until_ready(compiled(params, img)[0]), reps
+    dt, spread = _passes(
+        lambda: jax.block_until_ready(compiled(params, img)[0]), 20
     )
-    return dt, _flops_of(compiled)
+    return dt, _flops_of(compiled), spread
+
+
+def _rendered_bench_sequence():
+    """640x480 ray-traced plane circle for the fused image-in headline;
+    host-rendered once (~20 s) and cached under .jax_cache."""
+    from msckf_tpu.data.rendered import generate_rendered_circle
+
+    if os.path.exists(RENDER_CACHE):
+        z = np.load(RENDER_CACHE)
+        return {k: z[k] for k in z.files}
+    seq = generate_rendered_circle(
+        rng=np.random.default_rng(0), n_ticks=260, width=640, height=480,
+        fxy=320.0, camera_height=4.0,
+    )
+    data = dict(
+        timestamps=seq.timestamps, poses_t=seq.poses_t,
+        imu_gyro=seq.imu_gyro, imu_acc=seq.imu_acc,
+        cam_frame_ticks=seq.cam_frame_ticks,
+        images=seq.images.astype(np.float32),
+        R_WC_extrinsic=seq.R_WC_extrinsic,
+    )
+    os.makedirs(os.path.dirname(RENDER_CACHE), exist_ok=True)
+    np.savez_compressed(RENDER_CACHE, **data)
+    return data
+
+
+def bench_fused(jax, jnp):
+    """THE headline: one fused device program (CNN + filter) scanned over the
+    640x480 rendered sequence with the committed weights. Returns
+    (fused_hz, flops/frame, spread_pct, final position error m)."""
+    from msckf_tpu.data.stream import build_image_stream, to_device
+    from msckf_tpu.models.train_xfeat import load_npz_params
+    from msckf_tpu.pipeline import run_sequence_images
+    from msckf_tpu import make_initial_state, reference_experiment_config
+
+    data = _rendered_bench_sequence()
+    params = load_npz_params(WEIGHTS)
+    H, W = data["images"].shape[1:]
+    fxy = 320.0
+    cfg = reference_experiment_config(
+        dtype="float32", gain_solver="ns", correction_dtype="float32",
+        K=((fxy, 0.0, W / 2.0), (0.0, fxy, H / 2.0), (0.0, 0.0, 1.0)),
+        width=W, height=H,
+        R_WC=tuple(map(tuple, data["R_WC_extrinsic"])),
+    )
+    st = build_image_stream(
+        cfg, data["timestamps"], data["imu_gyro"], data["imu_acc"],
+        data["cam_frame_ticks"],
+    )
+    std = to_device(st, cfg)
+    images = jnp.asarray(data["images"][st.proc_cam_idx])
+    state = make_initial_state(cfg, std.R_init)
+    gt_final = jnp.asarray(data["poses_t"][-1], dtype=cfg.jdtype)
+
+    def run(state, prefix, frames, images):
+        final, _, _ = run_sequence_images(
+            cfg, params, state, prefix, frames, images, top_k=300
+        )
+        err = jnp.linalg.norm(final.imu.p_WI - gt_final)
+        overflow = final.diag.n_track_overflow + final.diag.n_update_overflow
+        return err, overflow
+
+    compiled = jax.jit(run).lower(state, std.prefix, std.frames, images).compile()
+    err, overflow = jax.device_get(compiled(state, std.prefix, std.frames, images))
+    assert np.isfinite(err), f"fused pipeline non-finite: {err}"
+    assert err < 0.5, f"fused pipeline diverged: {err} m"
+    assert int(overflow) == 0, "fused bench capacity overflow"
+
+    n_frames = images.shape[0]
+    dt, spread = _passes(
+        lambda: jax.device_get(compiled(state, std.prefix, std.frames, images)), 5
+    )
+    return n_frames / dt, _flops_of(compiled) / n_frames, spread, float(err)
+
+
+def bench_compensated_cost(jax, jnp, seq, base_hz):
+    """Latency cost of the compensated correction island (the TPU-safe
+    default) on the small-shape config, vs the plain-f32 opt-out."""
+    from msckf_tpu import reference_experiment_config
+
+    cfg = reference_experiment_config(
+        dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16,
+        gain_solver="ns", correction_dtype="compensated",
+    )
+    hz, _ = bench_filter(jax, jnp, cfg, seq)
+    return (base_hz / hz - 1.0) * 100.0, hz
 
 
 def _wait_for_device(max_wait_s=1500, probe_timeout_s=150):
@@ -192,7 +301,7 @@ def _wait_for_device(max_wait_s=1500, probe_timeout_s=150):
             pass
         if time.monotonic() > deadline:
             print(json.dumps({
-                "metric": "e2e_camera_loop_hz", "value": 0.0, "unit": "Hz",
+                "metric": "fused_e2e_hz", "value": 0.0, "unit": "Hz",
                 "vs_baseline": 0.0,
                 "extra": {"error": "device discovery unreachable "
                           f"(tunnel down?) after {max_wait_s}s, "
@@ -203,15 +312,13 @@ def _wait_for_device(max_wait_s=1500, probe_timeout_s=150):
 
 
 def main():
-    import os
-
     _wait_for_device()
 
     import jax
 
     # persistent compilation cache: the tunneled remote compile can take
     # minutes cold; cache hits bring reruns down to seconds
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    cache_dir = os.path.join(REPO, ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -224,53 +331,54 @@ def main():
     from msckf_tpu.data.synthetic import generate_circle_sequence
 
     seq = generate_circle_sequence(rng=np.random.default_rng(0))
+    spreads = {}
 
-    # (3) measured first: per-frame XFeat latency inflates ~100x when timed
-    # after the filter benches in the same process (dispatch-queue/tunnel
-    # state poisoning; standalone 0.10 ms vs 40 ms after) — order matters.
-    xfeat_dt, xfeat_flops = bench_xfeat(jax, jnp, top_k=300)
+    # standalone XFeat latency FIRST (dispatch-queue poisoning, see module
+    # docstring), then the fused headline while the queue is still clean.
+    xfeat_dt, xfeat_flops, xfeat_spread = bench_xfeat(jax, jnp, top_k=300)
 
-    # (1) round-1 configuration: capacities sized to the sequence (validated:
-    # zero overflow, identical trajectory vs f_max=512). desc_dim 16 covers
-    # the synthetic 10-d descriptors.
-    # gain_solver="ns": Newton-Schulz matmuls for the correction solve beat
-    # the serialized LU custom call on-chip (scripts/probe_solve.py, v5e:
-    # small 1424->1660 Hz, full 646->688 Hz); golden-trace parity for all
-    # three variants is pinned by tests/test_parity_fuzz.py.
+    fused_hz, fused_flops, fused_spread, fused_err = bench_fused(jax, jnp)
+
+    # correction_dtype="float32": the short bench sequences are
+    # well-conditioned; the island's cost is measured separately below
+    # (extra.compensated_cost_pct). gain_solver="ns": Newton-Schulz matmuls
+    # beat the serialized LU custom call on-chip (scripts/probe_solve.py).
     cfg_small = reference_experiment_config(
         dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16,
-        gain_solver="ns",
+        gain_solver="ns", correction_dtype="float32",
     )
-    small_hz, small_flops = bench_filter(jax, jnp, cfg_small, seq)
+    small_hz, small_flops = bench_filter(
+        jax, jnp, cfg_small, seq, spread_out=spreads, key="filter_small"
+    )
 
-    # (2) reference-shaped capacities: room for 300 extracted keypoints,
-    # 64-d descriptors, the default track budget (`config.py` defaults).
-    cfg_full = reference_experiment_config(dtype="float32", gain_solver="ns")
-    full_hz, full_flops = bench_filter(jax, jnp, cfg_full, seq)
+    cfg_full = reference_experiment_config(
+        dtype="float32", gain_solver="ns", correction_dtype="float32"
+    )
+    full_hz, full_flops = bench_filter(
+        jax, jnp, cfg_full, seq, spread_out=spreads, key="filter_full"
+    )
 
-    # (4) pure propagation rate (BASELINE config 1; reference ~171 Hz with a
-    # 5 ms sleep inflating it, ~0.85 ms true compute -> ~1.2 kHz equivalent)
+    comp_cost_pct, comp_hz = bench_compensated_cost(jax, jnp, seq, small_hz)
+
     cfg_imu = reference_experiment_config(
         dtype="float32", only_imu=True, f_max=16, u_max=8, k_max=16, desc_dim=16
     )
     imu_hz, _ = bench_filter(jax, jnp, cfg_imu, seq)
     imu_steps = imu_hz * 10.0  # 10 IMU ticks per camera-frame block
-    e2e_dt = xfeat_dt + 1.0 / full_hz
-    e2e_hz = 1.0 / e2e_dt
 
-    # MFU estimate for the end-to-end loop
+    # rounds-1..3 composed estimate (two programs, latencies summed)
+    e2e_sum_hz = 1.0 / (xfeat_dt + 1.0 / full_hz)
+
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16_FLOPS.get(kind, 197e12)
-    flops_per_frame = xfeat_flops + full_flops
-    mfu = flops_per_frame / e2e_dt / peak * 100.0
+    mfu = fused_flops * fused_hz / peak * 100.0
 
-    # (5) batched axis (VERDICT r2 #4): aggregate camera-updates/s and
-    # utilization of the vmapped multi-trajectory filter at batch 32 on this
-    # chip — the design's actual MFU story
+    # batched axis (BASELINE config 5): aggregate camera-updates/s at batch
+    # 32. correction island auto-degraded under vmap (parallel/batched.py).
     cfg_batch = reference_experiment_config(
-        dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16
+        dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16,
     )
-    batched_agg_hz, batched_flops, batched_dt = bench_batched(
+    batched_agg_hz, batched_flops, batched_dt, batched_spread = bench_batched(
         jax, jnp, cfg_batch, seq, batch=32
     )
     batched_mfu = batched_flops / batched_dt / peak * 100.0
@@ -278,18 +386,27 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "e2e_camera_loop_hz",
-                "value": round(e2e_hz, 2),
+                "metric": "fused_e2e_hz",
+                "value": round(fused_hz, 2),
                 "unit": "Hz",
-                "vs_baseline": round(e2e_hz / BASELINE_CAMERA_HZ, 2),
+                "vs_baseline": round(fused_hz / BASELINE_CAMERA_HZ, 2),
                 "extra": {
+                    "fused_err_m": round(fused_err, 4),
+                    "fused_spread_pct": round(fused_spread, 1),
+                    "e2e_sum_hz": round(e2e_sum_hz, 2),
                     "filter_full_hz": round(full_hz, 2),
                     "filter_small_hz": round(small_hz, 2),
+                    "filter_full_spread_pct": spreads.get("filter_full"),
+                    "filter_small_spread_pct": spreads.get("filter_small"),
                     "imu_only_steps_per_s": round(imu_steps, 0),
                     "xfeat_ms_per_frame": round(xfeat_dt * 1e3, 3),
+                    "xfeat_spread_pct": round(xfeat_spread, 1),
+                    "compensated_cost_pct": round(comp_cost_pct, 1),
+                    "compensated_small_hz": round(comp_hz, 2),
                     "mfu_pct": round(mfu, 4),
-                    "flops_per_frame": int(flops_per_frame),
+                    "flops_per_frame": int(fused_flops),
                     "batched_agg_hz": round(batched_agg_hz, 1),
+                    "batched_spread_pct": round(batched_spread, 1),
                     "batched_mfu_pct": round(batched_mfu, 4),
                     "device_kind": kind,
                 },

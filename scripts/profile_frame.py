@@ -28,6 +28,45 @@ def build(cfg_kind: str):
     from msckf_tpu.data.stream import build_stream, to_device
     from msckf_tpu.data.synthetic import generate_circle_sequence
 
+    if cfg_kind == "fused":
+        # the image-in fused CNN+filter program, exactly as bench_fused
+        # builds it (msckf_tpu/pipeline.py)
+        import jax.numpy as jnp
+
+        import bench
+        from msckf_tpu.data.stream import build_image_stream
+        from msckf_tpu.models.train_xfeat import load_npz_params
+        from msckf_tpu.pipeline import run_sequence_images
+
+        data = bench._rendered_bench_sequence()
+        params = load_npz_params(bench.WEIGHTS)
+        H, W = data["images"].shape[1:]
+        fxy = 320.0
+        cfg = reference_experiment_config(
+            dtype="float32", gain_solver="ns", correction_dtype="float32",
+            K=((fxy, 0.0, W / 2.0), (0.0, fxy, H / 2.0), (0.0, 0.0, 1.0)),
+            width=W, height=H,
+            R_WC=tuple(map(tuple, data["R_WC_extrinsic"])),
+        )
+        st = build_image_stream(
+            cfg, data["timestamps"], data["imu_gyro"], data["imu_acc"],
+            data["cam_frame_ticks"],
+        )
+        std = to_device(st, cfg)
+        images = jnp.asarray(data["images"][st.proc_cam_idx])
+        state = make_initial_state(cfg, std.R_init)
+
+        def runf(state, prefix, frames, images):
+            final, _, _ = run_sequence_images(
+                cfg, params, state, prefix, frames, images, top_k=300
+            )
+            return final.imu.p_WI
+
+        compiled = (
+            jax.jit(runf).lower(state, std.prefix, std.frames, images).compile()
+        )
+        return compiled, (state, std.prefix, std.frames, images), images.shape[0]
+
     seq = generate_circle_sequence(rng=np.random.default_rng(0))
     if cfg_kind == "full":
         cfg = reference_experiment_config(dtype="float32")
