@@ -263,6 +263,26 @@ def _reliability_fullres(rel: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     )  # (H, W)
 
 
+def _topk_twostage(flat: jnp.ndarray, k: int, blocks: int = 64):
+    """Exact top-k (values AND lowest-index tie-breaking identical to
+    ``jax.lax.top_k``) as block-local top-k + a merge.
+
+    One stable sort over H*W=307200 scores was the single hottest CNN op on
+    TPU (378 us/frame profiled); 64 parallel row sorts + one 64*k merge are
+    an order of magnitude cheaper. Exactness: the global top-k lies in the
+    union of per-block top-k's, and the block-major merge order preserves
+    global index order for equal values, so ties resolve identically.
+    """
+    n = flat.shape[0]
+    pad = (-n) % blocks
+    C = (n + pad) // blocks
+    x = jnp.pad(flat, (0, pad), constant_values=-jnp.inf).reshape(blocks, C)
+    v, i = jax.lax.top_k(x, min(k, C))  # (blocks, min(k, C))
+    gidx = i + (jnp.arange(blocks, dtype=i.dtype) * C)[:, None]
+    v2, j = jax.lax.top_k(v.reshape(-1), k)
+    return v2, gidx.reshape(-1)[j]
+
+
 def detect_and_compute(
     params: Any,
     image: jnp.ndarray,  # (H, W) grayscale float in [0, 255] or [0, 1]
@@ -320,7 +340,7 @@ def detect_and_compute(
     score_map = jnp.where(is_peak, hm * rel_up, -1.0)
 
     flat = score_map.reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat, top_k)
+    top_scores, top_idx = _topk_twostage(flat, top_k)
     ky = (top_idx // W).astype(jnp.float32)
     kx = (top_idx % W).astype(jnp.float32)
     kpts = jnp.stack([kx, ky], axis=-1)  # (top_k, 2) xy on the /32 grid

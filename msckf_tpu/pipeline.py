@@ -19,8 +19,6 @@ buffers directly. ``cfg.desc_dim`` must be 64 (XFeat's descriptor width).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -80,25 +78,56 @@ def run_sequence_images(
     images: jnp.ndarray,  # (C, H, W)
     top_k: int = 300,
     refine_subpix: bool = False,
+    cnn_chunk: int | None = None,
 ):
-    """Full image-in sequence on device: propagate-only prefix, then a
-    ``lax.scan`` of ``fused_frame_step`` over the image stack.
+    """Full image-in sequence as ONE device program: batched CNN stage, then
+    the sequential filter scan.
 
-    The images live in HBM for the whole scan (C x H x W floats — 122 MB for
-    100 frames at 640x480); for longer sequences feed chunks through
+    The reference interleaves CNN and filter because its CPU loop is serial
+    (`MSCKF.py:147-158`); on TPU only the FILTER carries a sequential
+    dependence — detect_and_compute per frame is embarrassingly parallel. So
+    stage 1 vmaps the CNN over the whole image stack (the frame axis becomes
+    the conv batch, filling the MXU: profiled 1.7 ms/frame serial-in-scan vs
+    ~0.4 ms/frame batched), and stage 2 scans ``frame_step`` over the
+    resulting feature blocks. Numerics are identical to the per-frame
+    ``fused_frame_step`` composition (tests/test_pipeline_fused.py).
+
+    ``cnn_chunk``: process the CNN stage in chunks of this many frames
+    (``lax.map``) to bound activation memory (24 frames of 640x480 block1
+    activations are ~118 MB); None = whole stack at once.
+
+    The images live in HBM for the whole program (C x H x W floats — 122 MB
+    for 100 frames at 640x480); for longer sequences feed chunks through
     ``fused_frame_step`` from the host or the streamed runner.
 
     Returns (final_state, prefix TickOutput, frame TickOutput (C, B, ...)).
     """
-    state, pre_out = propagate_prefix(cfg, state, prefix)
+    with jax.default_matmul_precision("default"):  # see fused_frame_step
+        dc = lambda im: detect_and_compute(
+            params, im, top_k=top_k, refine_subpix=refine_subpix
+        )
+        if cnn_chunk is None:
+            kp, desc, score, kp_valid = jax.vmap(dc)(images)
+        else:
+            C = images.shape[0]
+            if C % cnn_chunk:
+                raise ValueError(f"cnn_chunk {cnn_chunk} must divide n_frames {C}")
+            chunked = images.reshape((C // cnn_chunk, cnn_chunk) + images.shape[1:])
+            kp, desc, score, kp_valid = jax.tree.map(
+                lambda x: x.reshape((C,) + x.shape[2:]),
+                lax.map(jax.vmap(dc), chunked),
+            )
 
-    step = functools.partial(
-        fused_frame_step, cfg, params, top_k=top_k, refine_subpix=refine_subpix
+    frames = dict(
+        imu_frames,
+        kp=kp.astype(cfg.jdtype),
+        desc=desc.astype(cfg.jdtype),
+        score=score.astype(cfg.jdtype),
+        kp_valid=kp_valid,
     )
 
-    def fr(st, x):
-        image, blk = x
-        return step(st, image, blk)
-
-    state, outs = lax.scan(fr, state, (images, imu_frames))
+    state, pre_out = propagate_prefix(cfg, state, prefix)
+    state, outs = lax.scan(
+        lambda st, fr: frame_step(cfg, st, fr, assume_camera=True), state, frames
+    )
     return state, pre_out, outs

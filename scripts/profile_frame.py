@@ -95,7 +95,9 @@ def build(cfg_kind: str):
         frames = {k: rep(v) for k, v in std.frames.items()}
 
         def runb(states, prefix, frames):
-            final, _, _ = batched_run_sequence(cfg, states, prefix, frames)
+            final, _, _ = batched_run_sequence(
+                cfg, states, prefix, frames, assume_camera=True
+            )
             return final.imu.p_WI
 
         compiled = jax.jit(runb).lower(states, prefix, frames).compile()
