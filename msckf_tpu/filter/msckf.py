@@ -89,11 +89,11 @@ def add_camera_measurements(
     # before; every consumer masks on track_matched/accept.
     kp2 = select_rows(m.track_to_kp, True, kp)  # (F, 2)
     v = verify_matches(cfg, tr, state.cams, m.track_matched, kp2, cam_R, cam_t)
-    tr = extend_tracks(
+    tr, (ext_colmask, ext_row) = extend_tracks(
         cfg, tr, v.accept, kp2,
         select_rows(m.track_to_kp, True, desc),
         select_rows(m.track_to_kp, True, score),
-        cam_R, cam_t, cam_id,
+        cam_R, cam_t, cam_id, defer_obs=True,
     )
     # rejected matches (`MSCKF.py:399-401`) and unmatched tracks
     # (`MSCKF.py:438`) both age by one frame — unless the reference would
@@ -106,9 +106,21 @@ def add_camera_measurements(
     )
     # unmatched kept keypoints spawn new tracks (`MSCKF.py:414-434`; on the
     # first frame every kept keypoint spawns, `MSCKF.py:291-311`)
-    tracks, diag, next_id = spawn_tracks(
+    tracks, diag, next_id, (sp_written, sp_row) = spawn_tracks(
         cfg, tr, dg, state.next_track_id, kp, desc, score,
-        keep & ~m.kp_matched & act, cam_R, cam_t, cam_id,
+        keep & ~m.kp_matched & act, cam_R, cam_t, cam_id, defer_obs=True,
+    )
+    # ONE materialization of the (F, M, C) observation buffer for both
+    # writes (extend: column n_obs of accepted VALID tracks; spawn: column 0
+    # of recycled INVALID slots — row-disjoint by construction, so each row
+    # carries at most one value row). Writing twice paid the full multi-MB
+    # buffer traffic twice per frame (fused-pipeline profile: 256 us for the
+    # spawn write alone at full shape).
+    col0 = jnp.arange(cfg.m_max) == 0
+    wmask = ext_colmask | (sp_written[:, None] & col0[None, :])  # (F, M)
+    vals = jnp.where(sp_written[:, None], sp_row, ext_row)  # (F, C)
+    tracks = tracks.replace(
+        obs=jnp.where(wmask[..., None], vals[:, None, :], tracks.obs)
     )
     return state.replace(tracks=tracks, diag=diag, next_track_id=next_id)
 

@@ -33,8 +33,15 @@ def spawn_tracks(
     cam_R: jnp.ndarray,  # (3, 3) current camera pose
     cam_t: jnp.ndarray,  # (3,)
     cam_id: jnp.ndarray,  # () int32
+    defer_obs: bool = False,
 ):
     """New feature creation (`MSCKF.py:291-309` / `:414-434`).
+
+    ``defer_obs`` (static): skip the (F, M, C) observation-buffer write and
+    return ``(written (F,), placed_obs0 (F, C))`` as a fourth element so the
+    caller can fuse it with extend_tracks' write into ONE full-buffer select
+    (each separate write materializes the multi-MB buffer once — the spawn
+    write alone was 256 us/frame of the fused-pipeline device profile).
 
     Each spawned keypoint gets: first observation (kp/desc/score/camera),
     an observation-time world ray Line(cam_t, R_c K^-1 [kp,1])
@@ -90,7 +97,7 @@ def spawn_tracks(
         # n_obs=1, which the front-packed obs_valid invariant masks out
         # everywhere (writing the whole (K, M, C) block was the larger of
         # the two spawn scatters in the device profile)
-        obs=tr.obs.at[:, 0].set(
+        obs=tr.obs if defer_obs else tr.obs.at[:, 0].set(
             jnp.where(written[:, None], placed_obs0, tr.obs[:, 0])
         ),
         n_obs=jnp.where(written, 1, tr.n_obs),
@@ -105,11 +112,10 @@ def spawn_tracks(
     diag = diag.replace(
         n_track_overflow=diag.n_track_overflow + overflow.astype(jnp.int32)
     )
-    return (
-        tracks,
-        diag,
-        next_track_id + jnp.sum(spawn_mask).astype(jnp.int32),
-    )
+    next_id = next_track_id + jnp.sum(spawn_mask).astype(jnp.int32)
+    if defer_obs:
+        return tracks, diag, next_id, (written, placed_obs0)
+    return tracks, diag, next_id
 
 
 def extend_tracks(
@@ -122,8 +128,14 @@ def extend_tracks(
     cam_R: jnp.ndarray,
     cam_t: jnp.ndarray,
     cam_id: jnp.ndarray,
-) -> TrackStore:
-    """Append an observation to accepted tracks (`MSCKF.py:403-412`)."""
+    defer_obs: bool = False,
+):
+    """Append an observation to accepted tracks (`MSCKF.py:403-412`).
+
+    ``defer_obs`` (static): skip the (F, M, C) observation write and return
+    ``(tracks, (colmask (F, M), new_row (F, C)))`` so the caller can fuse it
+    with spawn_tracks' disjoint-row write into one full-buffer select (see
+    spawn_tracks)."""
     dt_ = cfg.jdtype
     F, M = cfg.f_max, cfg.m_max
     Kinv = jnp.asarray(cfg.K_inv_np, dtype=dt_)
@@ -144,12 +156,17 @@ def extend_tracks(
     # scatters serialize under vmap on TPU); cols==M matches no column, so
     # dropped rows keep their old observations — exact `mode="drop"` dual
     colmask = jnp.arange(M)[None, :] == cols[:, None]  # (F, M)
-    return tracks.replace(
-        obs=jnp.where(colmask[..., None], new_row[:, None, :], tracks.obs),
+    out = tracks.replace(
+        obs=tracks.obs if defer_obs else jnp.where(
+            colmask[..., None], new_row[:, None, :], tracks.obs
+        ),
         n_obs=jnp.where(a, tracks.n_obs + 1, tracks.n_obs),
         tracked=jnp.where(a, tracks.tracked + 1, tracks.tracked),
         lost=jnp.where(a, 0, tracks.lost),
     )
+    if defer_obs:
+        return out, (colmask, new_row)
+    return out
 
 
 def compact_observations(tracks: TrackStore, obs_keep: jnp.ndarray) -> TrackStore:

@@ -54,12 +54,14 @@ prefix = {k: rep(v) for k, v in std.prefix.items()}
 frames = {k: rep(v) for k, v in std.frames.items()}
 
 
-def probe(label, **kw):
+def probe(label, assume_camera=False, **kw):
     cfg = dataclasses.replace(base, **kw)
     states = jax.tree.map(lambda x: x, states0)
 
     def run(states, prefix, frames):
-        final, _, _ = batched_run_sequence(cfg, states, prefix, frames)
+        final, _, _ = batched_run_sequence(
+            cfg, states, prefix, frames, assume_camera=assume_camera
+        )
         return (
             jnp.max(jnp.linalg.norm(final.imu.p_WI, axis=-1)),
             jnp.sum(final.diag.n_track_overflow + final.diag.n_update_overflow),
@@ -91,3 +93,12 @@ def probe(label, **kw):
 probe("baseline (island auto-degraded)")
 probe("masked prune", prune_path="masked")
 probe("masked prune + ns8", prune_path="masked", solver_ns_iters=8)
+probe("masked + assume_camera", prune_path="masked", assume_camera=True)
+probe(
+    "masked + assume_camera + ns8",
+    prune_path="masked", assume_camera=True, solver_ns_iters=8,
+)
+probe(
+    "masked + assume_camera + fused update",
+    prune_path="masked", assume_camera=True, update_kernel="fused",
+)
