@@ -13,7 +13,7 @@ from jax import lax
 
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import FilterState
-from msckf_tpu.filter.tracks import compact_observations, select_rows
+from msckf_tpu.filter.tracks import compact_observations, select_rows, stable_rank
 from msckf_tpu.filter.update import ekf_update, triage_features
 
 
@@ -39,9 +39,16 @@ def _remove_cameras_impl(cfg: MSCKFConfig, state: FilterState, victim: jnp.ndarr
     cams = state.cams
     keep = cams.valid & ~victim
 
-    # compaction permutation over camera slots (kept slots first, in order)
-    kept_order = jnp.sort(jnp.where(keep, jnp.arange(N), N))  # (N,)
-    src = jnp.clip(kept_order, 0, N - 1)
+    # compaction permutation over camera slots (kept slots first, in order):
+    # dest i <- the kept slot with cumsum-rank i, sort-free (tracks.stable_rank)
+    krank = jnp.cumsum(keep) - 1  # (N,)
+    src = jnp.sum(
+        jnp.where(
+            keep[None, :] & (krank[None, :] == jnp.arange(N)[:, None]),
+            jnp.arange(N, dtype=jnp.int32), 0,
+        ),
+        axis=1, dtype=jnp.int32,
+    )  # (N,) — 0 beyond n_new, masked by slot_live below
     n_new = jnp.sum(keep).astype(jnp.int32)
     slot_live = jnp.arange(N) < n_new
 
@@ -125,13 +132,13 @@ def camera_first_encounter_rank(cfg: MSCKFConfig, state: FilterState) -> jnp.nda
     per_cam = _per_camera_obs_mask(state)  # (F, M, N)
     BIG = jnp.int32(1 << 30)
     seq = jnp.where(tr.valid, tr.track_id, BIG)
-    trank = jnp.argsort(jnp.argsort(seq)).astype(jnp.int32)  # (F,) 0..F-1
+    trank = stable_rank(seq)  # (F,) 0..F-1, sort-free
     enc = trank[:, None] * M + jnp.arange(M, dtype=jnp.int32)[None, :]  # (F, M)
     # min encounter index per camera as a masked reduce (not a scatter-min)
     first = jnp.min(
         jnp.where(per_cam, enc[..., None], jnp.int32(F * M)), axis=(0, 1)
     )
-    return jnp.argsort(jnp.argsort(first)).astype(jnp.int32)  # (N,) 0..N-1
+    return stable_rank(first)  # (N,) 0..N-1
 
 
 def select_prune_victims(cfg: MSCKFConfig, state: FilterState) -> jnp.ndarray:
@@ -144,14 +151,11 @@ def select_prune_victims(cfg: MSCKFConfig, state: FilterState) -> jnp.ndarray:
     BIG = jnp.int32(1 << 24)
     enc_rank = camera_first_encounter_rank(cfg, state)
     key = jnp.where(eligible, counts * N + enc_rank, BIG)
-    order = jnp.argsort(key)
     n_victims = jnp.minimum(jnp.sum(eligible), 2)
-    # compare+reduce instead of .at[order[:2]].set — batch-varying scatters
-    # serialize under vmap on TPU (order[:2] itself is a static slice)
-    sel = (jnp.arange(2) < n_victims)[:, None] & (
-        order[:2, None] == jnp.arange(N)
-    )  # (2, N)
-    return jnp.any(sel, axis=0)
+    # victims = the n_victims smallest keys == stable-rank < n_victims
+    # (sort-free; ineligible slots share key BIG, so their stable ranks are
+    # >= n_eligible >= n_victims and can never be selected)
+    return stable_rank(key) < n_victims
 
 
 def prune_poorest_camera_states(

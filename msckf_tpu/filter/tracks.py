@@ -8,7 +8,8 @@ mutation is a static-shape scatter:
               inserts new features in enumeration order, `MSCKF.py:414-434`)
   * extend  — append one observation at index ``n_obs`` for accepted matches
   * compact — order-preserving deletion of observations whose camera was
-              marginalized (`MSCKF.py:760-769`), via a stable argsort
+              marginalized (`MSCKF.py:760-769`), via cumsum-rank one-hots
+              (no sorts anywhere in the filter: see ``stable_rank``)
 """
 
 from __future__ import annotations
@@ -19,6 +20,24 @@ import jax.numpy as jnp
 from msckf_tpu.config import MSCKFConfig
 from msckf_tpu.filter.state import TrackStore, pack_obs
 from msckf_tpu.ops.geometry import idp_angles_m
+
+
+def stable_rank(key: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.argsort(jnp.argsort(key))`` without the sorts.
+
+    rank[i] = #{j : key[j] < key[i], or key[j] == key[i] and j < i} — the
+    stable ascending rank. Built as one (n, n) broadcast compare + row
+    reduce: TPU sorts are multi-pass bitonic networks with high fixed cost
+    (the (F,)-sized sorts were ~350 us/frame of the fused-pipeline profile),
+    while the quadratic compare fuses into one VPU pass for the n <= ~1k
+    vectors the filter ranks.
+    """
+    n = key.shape[0]
+    idx = jnp.arange(n)
+    before = (key[None, :] < key[:, None]) | (
+        (key[None, :] == key[:, None]) & (idx[None, :] < idx[:, None])
+    )
+    return jnp.sum(before, axis=1, dtype=jnp.int32)
 
 
 def spawn_tracks(
@@ -56,13 +75,12 @@ def spawn_tracks(
     # paths pass k_max-padded buffers as before
     F, K = cfg.f_max, kp.shape[0]
 
-    # free slots in slot order
-    free_order = jnp.sort(jnp.where(~tr.valid, jnp.arange(F), F))  # (F,)
+    # the k-th spawner (keypoint order) takes the k-th free slot (slot
+    # order): pair the two cumsum ranks directly — no sorted free-slot list
+    # (the (F,) sort cost ~90 us/frame on-chip; see stable_rank)
+    free_rank = jnp.cumsum(~tr.valid) - 1  # (F,) rank among free slots
     n_free = jnp.sum(~tr.valid)
-
-    # rank of each spawning keypoint among spawners (keypoint-index order)
-    rank = jnp.cumsum(spawn_mask) - 1  # (K,)
-    slot = jnp.where(spawn_mask & (rank < n_free), free_order[jnp.clip(rank, 0, F - 1)], F)
+    rank = jnp.cumsum(spawn_mask) - 1  # (K,) rank among spawners
     overflow = jnp.sum(spawn_mask & (rank >= n_free))
 
     # bearing ray in world frame: W_v = R_c @ K^-1 [u, v, 1]
@@ -77,10 +95,14 @@ def spawn_tracks(
     )  # (K, C)
 
     # one-hot placement, not .at[slot]: batch-varying index scatters
-    # serialize under vmap on TPU (same rationale as select_rows). Slots are
-    # unique and slot==F (non-spawner/overflow) matches no column, so every
-    # output row receives at most one term — the placements are exact.
-    eq = slot[:, None] == jnp.arange(F)  # (K, F)
+    # serialize under vmap on TPU (same rationale as select_rows). Ranks are
+    # unique among spawners/free slots, so every output row receives at most
+    # one term — the placements are exact; overflow spawners (rank >= n_free)
+    # match no free slot because free_rank < n_free everywhere.
+    eq = (
+        spawn_mask[:, None] & (~tr.valid)[None, :]
+        & (rank[:, None] == free_rank[None, :])
+    )  # (K, F)
     written = jnp.any(eq, axis=0)  # (F,)
     W = eq.astype(dt_)
     # obs0 and idp_angles_m outputs are raw finite values (measurements /
@@ -172,22 +194,26 @@ def extend_tracks(
 def compact_observations(tracks: TrackStore, obs_keep: jnp.ndarray) -> TrackStore:
     """Order-preserving deletion of observations (`MSCKF.py:760-769`).
 
-    ``obs_keep`` (F, M) marks observations that survive; dropped slots are
-    zeroed and packed to the back with a stable sort. Tracks left with zero
-    observations are invalidated (`MSCKF.py:770-773`).
+    ``obs_keep`` (F, M) marks observations that survive; kept observations
+    pack to the front in order, slots beyond the new ``n_obs`` come back
+    zeroed (stale either way — the front-packed obs_valid invariant masks
+    them everywhere). Tracks left with zero observations are invalidated
+    (`MSCKF.py:770-773`).
     """
     F, M = tracks.obs.shape[:2]
     keep = tracks.obs_valid & obs_keep
-    key = jnp.where(keep, 0, 1) * M + jnp.arange(M)[None, :]
-    perm = jnp.argsort(key, axis=1)  # (F, M) kept-in-order first
+    # destination of kept obs j = its rank among kept (cumsum), no argsort
+    # (the (F, M) argsort cost ~90 us/frame on-chip; see stable_rank)
+    kept_rank = jnp.cumsum(keep, axis=1) - 1  # (F, M)
 
     n_obs = jnp.sum(keep, axis=1).astype(jnp.int32)
     track_alive = tracks.valid & (n_obs > 0)
     # permutation as a one-hot batched matmul (MXU), not a gather: the
     # (F, M, C) take_along_axis was the hottest op of the marginalization
-    # path. Rows beyond the new n_obs carry stale channels, masked by the
-    # front-packed obs_valid invariant.
-    oh = (perm[..., None] == jnp.arange(M)).astype(tracks.obs.dtype)  # (F, M, M)
+    # path.
+    oh = (
+        keep[:, None, :] & (kept_rank[:, None, :] == jnp.arange(M)[None, :, None])
+    ).astype(tracks.obs.dtype)  # (F, M, M): oh[f, i, j] = obs j lands at row i
     obs = jnp.einsum("fij,fjc->fic", oh, tracks.obs)
     return tracks.replace(obs=obs, n_obs=n_obs, valid=track_alive)
 

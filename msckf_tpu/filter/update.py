@@ -183,12 +183,17 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     cams = state.cams
 
     # gather up to U valid tracks (slot order; row order is irrelevant to the
-    # accumulated A, c)
-    order = jnp.sort(jnp.where(valid, jnp.arange(F), F))
-    sel = order[:U]
-    sel_ok = sel < F
-    n_overflow = jnp.sum(valid).astype(jnp.int32) - jnp.sum(sel_ok).astype(jnp.int32)
-    sel_c = jnp.clip(sel, 0, F - 1)
+    # accumulated A, c). Row u <- the valid track with cumsum-rank u: no
+    # sort (TPU sorts are expensive multi-pass networks; tracks.stable_rank)
+    vrank = jnp.cumsum(valid) - 1  # (F,)
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+    sel_oh = (vrank[None, :] == jnp.arange(U)[:, None]) & valid[None, :]  # (U, F)
+    sel_ok = jnp.arange(U) < n_valid
+    n_overflow = n_valid - jnp.sum(sel_ok).astype(jnp.int32)
+    sel_c = jnp.sum(
+        jnp.where(sel_oh, jnp.arange(F, dtype=jnp.int32), 0), axis=1,
+        dtype=jnp.int32,
+    )  # row index per selected track (0 for empty rows, masked by sel_ok)
 
     # row compaction without gathers (TPU/vmapped gathers serialize);
     # ~sel_ok rows come back zeroed, which downstream masks already handle
@@ -199,7 +204,7 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     # are raw finite measurements; the small idp fields keep the
     # where+reduce form (`tracks.select_rows`), which stays inf-safe for
     # degenerate triangulations.
-    oh_sel = ((sel_c[:, None] == jnp.arange(F)) & sel_ok[:, None]).astype(dt_)
+    oh_sel = sel_oh.astype(dt_)
     obs_sel = jnp.einsum("uf,fmc->umc", oh_sel, tr.obs)  # (U, M, C)
     kp = obs_sel[..., OBS_KP]  # (U, M, 2)
     obs_cam_id = obs_sel[..., OBS_CAM_ID].astype(jnp.int32)
