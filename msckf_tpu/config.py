@@ -164,6 +164,14 @@ class MSCKFConfig:
     #                  short/well-conditioned sequences (bench-measured cost
     #                  of the island: extra.compensated_cost_pct).
     correction_dtype: str = "float64"
+    # Inner f32 solve of the compensated island's double-word refinement
+    # (`ops/compensated.refined_solve`):
+    #   "lu": pivoted LU custom call (fastest unbatched; serializes across a
+    #         vmap batch and crashes the TPU worker at batch scale).
+    #   "ns": Newton-Schulz approximate-inverse preconditioner — pure MXU
+    #         matmuls, custom-call-free, vmappable (parallel/batched.py
+    #         switches to this instead of degrading the island to plain f32).
+    island_solver: str = "lu"
 
     def __post_init__(self):
         object.__setattr__(self, "R_WC", _t3x3(self.R_WC))

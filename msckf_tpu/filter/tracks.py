@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from msckf_tpu.config import MSCKFConfig
-from msckf_tpu.filter.state import TrackStore, pack_obs
+from msckf_tpu.filter.state import OBS_CAM_ID, TrackStore, pack_obs
 from msckf_tpu.ops.geometry import idp_angles_m
 
 
@@ -215,6 +215,13 @@ def compact_observations(tracks: TrackStore, obs_keep: jnp.ndarray) -> TrackStor
         keep[:, None, :] & (kept_rank[:, None, :] == jnp.arange(M)[None, :, None])
     ).astype(tracks.obs.dtype)  # (F, M, M): oh[f, i, j] = obs j lands at row i
     obs = jnp.einsum("fij,fjc->fic", oh, tracks.obs)
+    # restore the -1 cam-id padding sentinel on dead slots (the einsum zeroes
+    # them, and cam id 0 is a REAL camera early in a run — state.py:189 pins
+    # the invariant that unresolvable slots never alias a live camera)
+    row_live = jnp.arange(M)[None, :] < n_obs[:, None]  # (F, M)
+    obs = obs.at[..., OBS_CAM_ID].set(
+        jnp.where(row_live, obs[..., OBS_CAM_ID], -1.0)
+    )
     return tracks.replace(obs=obs, n_obs=n_obs, valid=track_alive)
 
 

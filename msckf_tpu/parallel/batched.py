@@ -51,26 +51,29 @@ def batched_dispatch(cfg: MSCKFConfig) -> MSCKFConfig:
     bypass these overrides (e.g. to re-probe the batched triage kernel after
     a Mosaic fix — scripts/probe_batched_pallas.py does).
 
-    Correction island (round 4): the compensated double-word island must not
-    run under vmap — its refined_solve does 6 LU custom calls that serialize
-    across the batch (measured 309 ms/frame at batch 32 x D=207, ~20x the
-    whole frame step), and the full batched scan with it reproducibly
-    CRASHES the TPU worker ("kernel fault"). The vmapped path therefore
-    degrades `compensated` (and the f64 request that safe-degrades to it
-    without x64, see `update.apply_correction`) to plain f32 — exactly the
-    round-3 batched behavior. With x64 available (CPU lanes) the f64 island
-    is kept, so batched==single parity tests are unaffected. On-chip long
-    sequences that need the island should scale via shard_map (which traces
-    the unbatched program and keeps it) or the streamed runner's shard_map
-    mode.
+    Correction island (round 5): the compensated double-word island KEEPS
+    running under vmap, with its inner solve switched to the Newton-Schulz
+    preconditioner (`island_solver="ns"`, `ops/compensated.refined_solve`).
+    Round 4 had to degrade the island to plain f32 here because
+    refined_solve's 6 LU custom calls serialized across the batch (measured
+    309 ms/frame at batch 32 x D=207) and reproducibly crashed the TPU
+    worker; the NS path is pure MXU matmuls — custom-call-free, natively
+    batched — and the island's (D, D) products are Ozaki-scheme bf16 passes
+    (`ozaki_matmul`), so the whole island vmaps. With x64 available (CPU
+    lanes) the f64 island is kept, so batched==single parity tests are
+    unaffected.
     """
     if cfg.use_pallas and cfg.use_pallas_triage:
         cfg = dataclasses.replace(cfg, use_pallas_triage=False)
     want_island = cfg.correction_dtype == "compensated" or (
         cfg.correction_dtype == "float64" and not jax.config.jax_enable_x64
     )
-    if want_island and cfg.jdtype == jnp.dtype("float32"):
-        cfg = dataclasses.replace(cfg, correction_dtype="float32")
+    if want_island and cfg.jdtype == jnp.dtype("float32") and (
+        cfg.island_solver != "ns"
+    ):
+        cfg = dataclasses.replace(
+            cfg, correction_dtype="compensated", island_solver="ns"
+        )
     return cfg
 
 

@@ -121,3 +121,37 @@ def test_detect_refine_subpix(params):
         off = np.abs(k1[v0] - k0[v0])
         assert off.max() <= 0.5 + 1e-6
         assert np.any(off > 0)  # the fit actually moves peaks
+
+
+def test_topk_twostage_exact_on_ties():
+    """`_topk_twostage` must match `lax.top_k` in values AND indices on
+    tie-heavy inputs (VERDICT r4 weak #6): quantized score plateaus,
+    all-equal blocks, and k straddling block boundaries are exactly where a
+    merge-order mistake would silently reorder keypoints."""
+    from msckf_tpu.models.xfeat import _topk_twostage
+
+    rng = np.random.default_rng(42)
+    cases = []
+    # quantized plateau: scores drawn from only 4 distinct values
+    cases.append(rng.choice([0.0, 0.25, 0.5, 1.0], size=4096).astype(np.float32))
+    # all-equal input: pure tie-breaking test
+    cases.append(np.full(4096, 0.5, np.float32))
+    # all-equal except one winner in the last block
+    x = np.full(4096, 0.5, np.float32)
+    x[-1] = 1.0
+    cases.append(x)
+    # random with duplicated halves (every value appears twice)
+    h = rng.uniform(size=2048).astype(np.float32)
+    cases.append(np.concatenate([h, h]))
+    # non-multiple-of-blocks length (padding path) with ties
+    cases.append(rng.choice([0.1, 0.2], size=4096 - 37).astype(np.float32))
+
+    for x in cases:
+        xj = jnp.asarray(x)
+        for k in (1, 63, 64, 65, 300):  # straddle the 64-block boundary
+            if k > x.size:
+                continue
+            v_ref, i_ref = jax.lax.top_k(xj, k)
+            v2, i2 = _topk_twostage(xj, k)
+            np.testing.assert_array_equal(np.asarray(v2), np.asarray(v_ref))
+            np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
