@@ -374,9 +374,13 @@ def main():
     mfu = fused_flops * fused_hz / peak * 100.0
 
     # batched axis (BASELINE config 5): aggregate camera-updates/s at batch
-    # 32. correction island auto-degraded under vmap (parallel/batched.py).
+    # 32. correction_dtype="float32": the same short-sequence island opt-out
+    # as the single-sequence configs above (since round 5 the island
+    # SURVIVES vmap — compensated+ns, parallel/batched.py — so it must be
+    # opted out explicitly here too; its batched cost is a separate story).
     cfg_batch = reference_experiment_config(
         dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16,
+        correction_dtype="float32",
     )
     batched_agg_hz, batched_flops, batched_dt, batched_spread = bench_batched(
         jax, jnp, cfg_batch, seq, batch=32

@@ -35,8 +35,13 @@ from msckf_tpu.parallel.batched import batched_initial_state, batched_run_sequen
 BATCHES = [int(a) for a in sys.argv[1:]] or [16, 32, 64, 128, 256]
 
 seq = generate_circle_sequence(rng=np.random.default_rng(0))
+# correction_dtype="float32": same short-sequence island opt-out as the
+# bench's single-sequence configs — without it the round-5 batched_dispatch
+# keeps the compensated island under vmap (float64 -> compensated+ns), a
+# much bigger program than the r4 number this sweep extends.
 base = reference_experiment_config(
-    dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16
+    dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16,
+    correction_dtype="float32",
 )
 st = build_stream(
     base, seq.timestamps, seq.imu_gyro, seq.imu_acc, seq.cam_frame_ticks,
