@@ -128,6 +128,22 @@ class MSCKFConfig:
     # "fused":  the round-2 monolithic U-tiled kernel (kept for comparison).
     # "xla":    pure XLA (batched cholesky custom-call) — the off-TPU path.
     update_kernel: str = "hybrid"
+    # chi-square gate solve of gamma = r~^T S^{-1} r~ (build_update_terms):
+    # "auto": the update_kernel's own path (gating kernel under
+    #         hybrid+pallas, batched-Cholesky custom call otherwise).
+    # "ns":   batched Newton-Schulz inverse of S (SPD, sigma^2-regularized)
+    #         + one polish step — pure MXU matmuls. Under vmap the gating
+    #         kernel's flattened-batch grid pays ~1.3 ms/frame of in-scan
+    #         grid-step overhead at batch 32 (profiled round 5); the NS form
+    #         vectorizes natively.
+    # "xla":  force the batched-Cholesky custom call.
+    gating_solver: str = "auto"
+    # Newton-Schulz iteration count for gating_solver="ns". 16 covers
+    # cond(S) to ~1e4 at <=2e-6 relative gamma error (CPU-measured vs f64;
+    # S = sigma^2 I + H P H^T has spectrum floored at sigma^2). All but the
+    # last 2 iterations run in bf16 STORAGE (self-correcting chain), so the
+    # big-batch cost is ~half f32 HBM traffic per iteration.
+    gating_ns_iters: int = 16
     # prune-path dispatch when the camera window saturates (camera_step):
     # "cond":   lax.cond on n > max_camera_states (the reference's control
     #           flow; the branch boundary copies every carried leaf, and

@@ -310,13 +310,28 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     r_t = r_stack - jnp.einsum("uri,uij,uj->ur", Hf_stack, Hpinv, Hf_r)
     # Hf^T Hcam without the dense product: contract per-obs first (the block
     # structure keeps this (U, 3, M, 6)-small), then place by camera slot
-    t1 = jnp.einsum("umci,umcj->uimj", Hf, Hx6)
-    Wc = jnp.einsum("uimj,umn->uinj", t1, onehot).reshape(U, 3, N * 6)
+    # dense projected Jacobian over the camera span only (gating needs it).
+    # Built as two constant-pattern skinny matmuls + one elementwise mul:
+    #   Hcam[u, r, 6n+j] = Hx6r[u, r, j] * oh_rows[u, r, n]
+    # where T6[j, 6n+j] = 1 tiles the per-row 6-vector across camera blocks
+    # and TN[n, 6n+j] = 1 spreads the one-hot across its block. Each matmul
+    # output element has exactly one nonzero term, so the values are BITWISE
+    # the original broadcast-multiply's — but the operands stay 3-D
+    # (U, 2M, {6,N}) -> (U, 2M, 6N), which XLA lays out as clean row-major
+    # tiles. The previous 6-D broadcast form (U, M, 2, N, 6) was the
+    # hottest op family of the vmapped frame step (round-5 profile: ~1 ms
+    # of batch-minor layout copies per frame at batch 32).
+    T6 = jnp.tile(jnp.eye(6, dtype=dt_), (1, N))  # (6, 6N)
+    TN = jnp.repeat(jnp.eye(N, dtype=dt_), 6, axis=1)  # (N, 6N)
+    Hx6r = Hx6.reshape(U, 2 * M, 6)
+    oh_rows = jnp.repeat(onehot, 2, axis=1)  # (U, 2M, N), rows (m, c)
+    Hcam = (Hx6r @ T6) * (oh_rows @ TN)  # (U, 2M, 6N)
+    # Hf^T Hcam as ONE stacked-row batched matmul (identical math to the
+    # former per-obs einsum chain t1 = "umci,umcj->uimj" -> "uimj,umn->uinj":
+    # row r = (m, c) runs over exactly the same products, because each Hcam
+    # row carries its Hx6 row in its single camera block)
+    Wc = jnp.einsum("uri,urd->uid", Hf_stack, Hcam)  # (U, 3, 6N)
     Kc = jnp.einsum("uik,ukd->uid", Hpinv, Wc)  # (U, 3, 6N)
-    # dense projected Jacobian over the camera span only (gating needs it)
-    Hcam = (onehot[:, :, None, :, None] * Hx6[:, :, :, None, :]).reshape(
-        U, 2 * M, N * 6
-    )
     H_t = Hcam - jnp.einsum("uri,uid->urd", Hf_stack, Kc)  # (U, 2M, 6N)
 
     # chi-square gate (`MSCKF.py:561-568`), projector form (== basis form).
@@ -326,7 +341,39 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     S = jnp.einsum("ure,use->urs", HP, H_t) + sigma2 * jnp.eye(
         2 * M, dtype=dt_
     )
-    if use_pallas(cfg) and cfg.update_kernel == "hybrid":
+    if cfg.gating_solver == "ns":
+        # batched Newton-Schulz inverse + one polish step: S is SPD with
+        # spectrum >= sigma^2 (sigma^2 I + H P H^T), so X0 = I/||S||_inf is
+        # contractive exactly as in ops/solve._ns_inverse. gamma only feeds
+        # the threshold compare; the polish step puts the residual at the
+        # f32 floor, the same class as the Cholesky solve it replaces.
+        from msckf_tpu.ops.solve import _ns_inverse
+
+        # Jacobi pre-scaling (exact transform: gamma = rh^T Sh^-1 rh with
+        # Sh = D S D, rh = D r, D = diag(S)^-1/2, diag(S) >= sigma^2 > 0):
+        # S's conditioning is dominated by per-row scale (observation
+        # z-depths), which scaling removes entirely — the scaled system is
+        # f32-exact with bf16-storage NS at 10 iterations on row-scaled
+        # fixtures to cond(S) ~1e6 (CPU-measured vs f64). cfg.gating_ns_iters
+        # (default 16) adds margin for residual rotated-spectrum cond ~1e3.
+        # bf16 STORAGE on the early iterations halves the bandwidth-bound
+        # big-batch traffic; two polish steps put the solve residual at the
+        # f32 floor on the x the gamma quadratic form uses.
+        d_inv = jax.lax.rsqrt(jnp.diagonal(S, axis1=-2, axis2=-1))  # (U, 2M)
+        Sh = S * (d_inv[..., :, None] * d_inv[..., None, :])
+        rh = r_t * d_inv
+        Xs = _ns_inverse(Sh, iters=cfg.gating_ns_iters, lowp_storage=True)
+        x = jnp.einsum("urs,us->ur", Xs, rh)
+        for _ in range(2):
+            x = x + jnp.einsum(
+                "urs,us->ur", Xs, rh - jnp.einsum("urs,us->ur", Sh, x)
+            )
+        gamma = jnp.sum(rh * x, axis=-1)  # (U,)
+    elif (
+        use_pallas(cfg)
+        and cfg.update_kernel == "hybrid"
+        and cfg.gating_solver != "xla"
+    ):
         # one un-tiled vectorized-Cholesky kernel over the whole batch
         # (batched (2M,2M) cholesky lowers to a slow serialized custom-call
         # on TPU; ops/pallas_kernels.batched_gating_gamma)
@@ -349,12 +396,14 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     # rejected tracks' inf Jacobians (1/z^2 blow-ups the reference also
     # produces, `Camera.py:57`) out of the sums.
     pm = passed[:, None, None]
-    t2 = jnp.einsum("umcj,umck->umjk", Hx6, Hx6)  # (U, M, 6, 6)
-    t2 = jnp.where(passed[:, None, None, None], t2, 0.0)
-    blocks = jnp.einsum("umjk,umn->njk", t2, onehot)  # (N, 6, 6)
-    A_bd = jnp.einsum(
-        "njk,nm->njmk", blocks, jnp.eye(N, dtype=dt_)
-    ).reshape(N * 6, N * 6)
+    # block-diagonal term as ONE masked stacked-row matmul: each Hcam row
+    # lives in a single 6-col camera block, so cross-block entries of
+    # Hcam_m^T Hcam_m are structural exact zeros (one factor is 0.0) and the
+    # product IS the former per-obs block-diag placement. passed rows are
+    # finite (an inf Jacobian makes gamma NaN, which fails the gate), and
+    # rejected rows are where-zeroed on BOTH operands — no inf*0.
+    Hcam_m = jnp.where(pm, Hcam, 0.0)
+    A_bd = jnp.einsum("urd,ure->de", Hcam_m, Hcam_m)  # (6N, 6N)
     Wm = jnp.where(pm, Wc, 0.0)
     Gm = jnp.where(pm, HtH, 0.0)
     T_wk = jnp.einsum("uid,uie->de", Wm, Kc)  # sum W^T K
@@ -362,13 +411,14 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     T_kgk = jnp.einsum("uid,uie->de", Kc, GK)  # sum K^T G K (mask via Gm)
     A_cam = A_bd - T_wk - T_wk.T + T_kgk
 
-    rt2 = r_t.reshape(U, M, 2)
-    t3 = jnp.einsum("umcj,umc->umj", Hx6, rt2)  # (U, M, 6)
-    t3 = jnp.where(pm, t3, 0.0)
-    c_blocks = jnp.einsum("umj,umn->nj", t3, onehot)  # (N, 6)
+    r_m = jnp.where(passed[:, None], r_t, 0.0)
     Fr = jnp.einsum("uri,ur->ui", Hf_stack, r_t)  # (U, 3)
     Frm = jnp.where(passed[:, None], Fr, 0.0)
-    c_cam = c_blocks.reshape(N * 6) - jnp.einsum("uid,ui->d", Kc, Frm)
+    # c block terms = Hcam_m^T r_m (same per-(m, c) products as the former
+    # t3/c_blocks chain), minus the projector cross term
+    c_cam = jnp.einsum("urd,ur->d", Hcam_m, r_m) - jnp.einsum(
+        "uid,ui->d", Kc, Frm
+    )
 
     A = jnp.pad(A_cam, ((15, 0), (15, 0)))
     c = jnp.pad(c_cam, (15, 0))

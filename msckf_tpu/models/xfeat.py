@@ -177,13 +177,46 @@ def _sparse_coords(pos: jnp.ndarray, H_full: int, W_full: int, h: int, w: int):
     return ix, iy
 
 
-def _gather_zeros(grid: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
-    """grid[(iy, ix)] with zeros padding (torch grid_sample padding_mode
-    default). grid (H, W, C); iy/ix int (N,) -> (N, C)."""
+def _gather_zeros_impl(grid: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     h, w = grid.shape[0], grid.shape[1]
     ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
     v = grid[jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1)]
     return jnp.where(ok[:, None], v, 0.0)
+
+
+@jax.custom_batching.custom_vmap
+def _gather_zeros(grid: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """grid[(iy, ix)] with zeros padding (torch grid_sample padding_mode
+    default). grid (H, W, C); iy/ix int (N,) -> (N, C).
+
+    Batching: under ``vmap`` (the fused pipeline's batched CNN stage) a
+    per-image gather becomes a batch-varying gather, which XLA serializes on
+    TPU — these 16-tap bicubic samples were the hot tail of the vmapped
+    detect_and_compute. The vmap rule flattens the batch axis into the row
+    index so the lowering stays ONE contiguous-row gather (bitwise-identical
+    values).
+    """
+    return _gather_zeros_impl(grid, iy, ix)
+
+
+@_gather_zeros.def_vmap
+def _gather_zeros_vmap(axis_size, in_batched, grid, iy, ix):
+    B = axis_size
+    bcast = lambda b, a: (
+        a if b else jnp.broadcast_to(a, (B,) + jnp.asarray(a).shape)
+    )
+    grid, iy, ix = (
+        bcast(b, a) for b, a in zip(in_batched, (grid, iy, ix))
+    )
+    h, w, C = grid.shape[1], grid.shape[2], grid.shape[3]
+    ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    rows = (
+        jnp.arange(B, dtype=jnp.int32)[:, None] * (h * w)
+        + jnp.clip(iy, 0, h - 1) * w
+        + jnp.clip(ix, 0, w - 1)
+    ).reshape(-1)
+    v = grid.reshape(B * h * w, C)[rows].reshape(B, iy.shape[1], C)
+    return jnp.where(ok[..., None], v, 0.0), True
 
 
 def _cubic_weights(t: jnp.ndarray):

@@ -38,7 +38,8 @@ from jax import lax
 from jax.custom_batching import custom_vmap
 
 
-def _ns_inverse(Bt: jnp.ndarray, iters: int, high_iters: int = 2) -> jnp.ndarray:
+def _ns_inverse(Bt: jnp.ndarray, iters: int, high_iters: int = 2,
+                lowp_storage: bool = False) -> jnp.ndarray:
     """Batched Newton-Schulz approximate inverse of (..., D, D) Bt.
 
     Mixed precision (round 4): Newton's iteration is self-correcting — the
@@ -59,9 +60,24 @@ def _ns_inverse(Bt: jnp.ndarray, iters: int, high_iters: int = 2) -> jnp.ndarray
     # docstring) so eigenvalues of Bt X_0 land in (0, 1]
     norm = jnp.max(jnp.sum(jnp.abs(Bt), axis=-1), axis=-1)
     X = eye / norm[..., None, None]
-    with jax.default_matmul_precision("default"):
-        for _ in range(max(iters - high_iters, 0)):
-            X = X @ (2.0 * eye - Bt @ X)
+    if lowp_storage and iters > high_iters:
+        # bf16 ARRAYS (not just matmul inputs) for the early iterations:
+        # halves the HBM traffic of the bandwidth-bound big-batch case. The
+        # bf16 chain converges to the bf16 representation floor — the same
+        # floor the bf16-precision matmuls already imposed — and the f32
+        # finish squares it away identically (self-correction argument in
+        # the docstring above).
+        b16 = jnp.bfloat16
+        Xl = X.astype(b16)
+        Btl = Bt.astype(b16)
+        eyel = eye.astype(b16)
+        for _ in range(iters - high_iters):
+            Xl = Xl @ (2.0 * eyel - Btl @ Xl)
+        X = Xl.astype(Bt.dtype)
+    else:
+        with jax.default_matmul_precision("default"):
+            for _ in range(max(iters - high_iters, 0)):
+                X = X @ (2.0 * eye - Bt @ X)
     for _ in range(min(high_iters, iters)):
         X = X @ (2.0 * eye - Bt @ X)
     return X

@@ -65,6 +65,15 @@ def batched_dispatch(cfg: MSCKFConfig) -> MSCKFConfig:
     """
     if cfg.use_pallas and cfg.use_pallas_triage:
         cfg = dataclasses.replace(cfg, use_pallas_triage=False)
+    if cfg.gating_solver == "auto":
+        # round-5 probe (scripts/probe_batched_r5.py, B=32): the gating
+        # kernel's flattened-batch grid pays ~1.3 ms/frame of in-scan
+        # grid-step overhead per update under vmap; the Jacobi-scaled
+        # Newton-Schulz gamma (12 iterations, bf16-storage early) measured
+        # 2868 -> 3324 agg Hz with IDENTICAL gate decisions on the circle
+        # fixture. (At B>=128 the kernel wins again — HBM-bound NS — but
+        # the per-trajectory optimum is B~32-64.)
+        cfg = dataclasses.replace(cfg, gating_solver="ns", gating_ns_iters=12)
     want_island = cfg.correction_dtype == "compensated" or (
         cfg.correction_dtype == "float64" and not jax.config.jax_enable_x64
     )
