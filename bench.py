@@ -34,6 +34,16 @@ Other measurements:
 Measurement hygiene: per-frame op latencies measured right after a big
 in-process compile/run are inflated ~100x (dispatch-queue poisoning) —
 the standalone XFeat latency is timed FIRST.
+
+Round-5 methodology change (attributed, not hidden): all *-hz numbers are
+STEADY-STATE device throughput — reps dispatched back-to-back, one
+synchronize at the end (see _time_reps). r1-r4 fetched after every call,
+paying the ~31 ms tunneled-TPU round trip per call; over the r4 fused
+bench's 26 frames that tax was 1.2 of the headline's 2.82 ms/frame. The
+per-call overhead is now its own field (``extra.call_overhead_ms``) and
+the fused sequence is 104 frames (v2). Continuity: r4's 354.52 fused
+fetch-per-call corresponds to ~505 steady-state on the same code
+(scripts/probe_fused_attrib.py decomposition).
 """
 
 import json
@@ -58,7 +68,7 @@ PEAK_BF16_FLOPS = {
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 WEIGHTS = os.path.join(REPO, "weights", "xfeat_selfsup.npz")
-RENDER_CACHE = os.path.join(REPO, ".jax_cache", "bench_rendered_640x480_v1.npz")
+RENDER_CACHE = os.path.join(REPO, ".jax_cache", "bench_rendered_640x480_v2.npz")
 
 
 def _flops_of(compiled) -> float:
@@ -72,9 +82,23 @@ def _flops_of(compiled) -> float:
 
 
 def _time_reps(fn, reps):
+    """Steady-state per-call time: dispatch ``reps`` calls back-to-back and
+    synchronize ONCE at the end (JAX async dispatch pipelines them).
+
+    Round-5 attribution (scripts/probe_fused_attrib.py): fetching outputs
+    after EVERY call pays a full host<->device round trip per call — a
+    TRIVIAL jitted program measures ~31 ms/call through the tunneled TPU —
+    which taxed the r1-r4 numbers by RTT/n_frames (1.2 of the r4 fused
+    headline's 2.82 ms/frame was tunnel RTT amortized over only 26 frames).
+    This form measures device throughput; the harness per-call overhead is
+    reported separately (``extra.call_overhead_ms``)."""
+    import jax
+
     t0 = time.perf_counter()
+    out = None
     for _ in range(reps):
         out = fn()
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps, out
 
 
@@ -122,7 +146,7 @@ def bench_filter(jax, jnp, cfg, seq, spread_out=None, key=None):
 
     n_frames = std.frames["imu_ts"].shape[0]
     dt, spread = _passes(
-        lambda: jax.device_get(compiled(state, std.prefix, std.frames)), 5
+        lambda: compiled(state, std.prefix, std.frames), 5
     )
     if spread_out is not None and key is not None:
         spread_out[key] = round(spread, 1)
@@ -165,7 +189,7 @@ def bench_batched(jax, jnp, cfg, seq, batch):
 
     n_frames = std.frames["imu_ts"].shape[0]
     dt, spread = _passes(
-        lambda: jax.device_get(compiled(states, prefix, frames)), 3
+        lambda: compiled(states, prefix, frames), 3
     )
     agg_hz = batch * n_frames / dt
     return agg_hz, _flops_of(compiled), dt, spread
@@ -186,21 +210,23 @@ def bench_xfeat(jax, jnp, top_k=300, width=640, height=480):
     jax.block_until_ready(kp)
 
     dt, spread = _passes(
-        lambda: jax.block_until_ready(compiled(params, img)[0]), 20
+        lambda: compiled(params, img)[0], 20
     )
     return dt, _flops_of(compiled), spread
 
 
 def _rendered_bench_sequence():
     """640x480 ray-traced plane circle for the fused image-in headline;
-    host-rendered once (~20 s) and cached under .jax_cache."""
+    host-rendered once (~90 s) and cached under .jax_cache. v2 (round 5):
+    104 camera frames — the r4 26-frame sequence amortized fixed per-call
+    cost over too few frames to measure steady state."""
     from msckf_tpu.data.rendered import generate_rendered_circle
 
     if os.path.exists(RENDER_CACHE):
         z = np.load(RENDER_CACHE)
         return {k: z[k] for k in z.files}
     seq = generate_rendered_circle(
-        rng=np.random.default_rng(0), n_ticks=260, width=640, height=480,
+        rng=np.random.default_rng(0), n_ticks=1040, width=640, height=480,
         fxy=320.0, camera_height=4.0,
     )
     data = dict(
@@ -245,7 +271,9 @@ def bench_fused(jax, jnp):
 
     def run(state, prefix, frames, images):
         final, _, _ = run_sequence_images(
-            cfg, params, state, prefix, frames, images, top_k=300
+            cfg, params, state, prefix, frames, images, top_k=300,
+            cnn_chunk=26,  # bound CNN-stage activations (104 frames would
+                           # hold ~4x the block1 feature maps otherwise)
         )
         err = jnp.linalg.norm(final.imu.p_WI - gt_final)
         overflow = final.diag.n_track_overflow + final.diag.n_update_overflow
@@ -259,7 +287,7 @@ def bench_fused(jax, jnp):
 
     n_frames = images.shape[0]
     dt, spread = _passes(
-        lambda: jax.device_get(compiled(state, std.prefix, std.frames, images)), 5
+        lambda: compiled(state, std.prefix, std.frames, images), 5
     )
     return n_frames / dt, _flops_of(compiled) / n_frames, spread, float(err)
 
@@ -332,6 +360,16 @@ def main():
 
     seq = generate_circle_sequence(rng=np.random.default_rng(0))
     spreads = {}
+
+    # harness per-call overhead: a trivial jitted program, synchronized per
+    # call — the dispatch + fetch round trip every *-hz number excludes
+    # (docstring of _time_reps). ~31 ms through the tunnel, ~0.1 ms local.
+    triv = jax.jit(lambda x: x + 1.0)
+    _ = triv(0.0)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jax.block_until_ready(triv(1.0))
+    call_overhead_ms = (time.perf_counter() - t0) / 10 * 1e3
 
     # standalone XFeat latency FIRST (dispatch-queue poisoning, see module
     # docstring), then the fused headline while the queue is still clean.
@@ -407,6 +445,7 @@ def main():
                     "xfeat_spread_pct": round(xfeat_spread, 1),
                     "compensated_cost_pct": round(comp_cost_pct, 1),
                     "compensated_small_hz": round(comp_hz, 2),
+                    "call_overhead_ms": round(call_overhead_ms, 2),
                     "mfu_pct": round(mfu, 4),
                     "flops_per_frame": int(fused_flops),
                     "batched_agg_hz": round(batched_agg_hz, 1),

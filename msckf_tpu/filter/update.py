@@ -33,6 +33,7 @@ in exact arithmetic (proofs sketched inline):
 
 from __future__ import annotations
 
+import contextlib
 from typing import NamedTuple
 
 import jax
@@ -337,10 +338,24 @@ def build_update_terms(cfg: MSCKFConfig, state: FilterState, valid: jnp.ndarray)
     # chi-square gate (`MSCKF.py:561-568`), projector form (== basis form).
     # S built as two stacked-row MXU matmuls (XLA collapses (U,2M) rows into
     # one (U*2M, 6N) contraction against the camera block of P).
-    HP = jnp.einsum("urd,de->ure", H_t, state.P[15:, 15:])
-    S = jnp.einsum("ure,use->urs", HP, H_t) + sigma2 * jnp.eye(
-        2 * M, dtype=dt_
+    # Under the NS gate the S build runs at default (bf16-input) matmul
+    # precision: S feeds ONLY the chi^2 threshold compare, the NS inverse
+    # iterations are already bf16, and the 6-pass f32 product was the
+    # heaviest FLOP term of the vmapped frame (9.7 GFLOP/frame-batch at
+    # batch 32 across the two updates). Gate decisions on the circle
+    # fixture are identical (probe_batched_r5 rejection counts); the
+    # f32-highest build stays on every other path (incl. all CPU parity
+    # lanes, which gate via auto/xla).
+    prec_ctx = (
+        jax.default_matmul_precision("default")
+        if cfg.gating_solver == "ns"
+        else contextlib.nullcontext()
     )
+    with prec_ctx:
+        HP = jnp.einsum("urd,de->ure", H_t, state.P[15:, 15:])
+        S = jnp.einsum("ure,use->urs", HP, H_t) + sigma2 * jnp.eye(
+            2 * M, dtype=dt_
+        )
     if cfg.gating_solver == "ns":
         # batched Newton-Schulz inverse + one polish step: S is SPD with
         # spectrum >= sigma^2 (sigma^2 I + H P H^T), so X0 = I/||S||_inf is
