@@ -110,11 +110,23 @@ def run_sequence_images(
             kp, desc, score, kp_valid = jax.vmap(dc)(images)
         else:
             C = images.shape[0]
-            if C % cnn_chunk:
-                raise ValueError(f"cnn_chunk {cnn_chunk} must divide n_frames {C}")
-            chunked = images.reshape((C // cnn_chunk, cnn_chunk) + images.shape[1:])
+            # pad the stack to a chunk multiple (CNN on zero images for the
+            # tail — wasted compute only, sliced off before the filter sees
+            # anything; keeps chunking usable for any sequence length)
+            pad = (-C) % cnn_chunk
+            images_p = (
+                jnp.concatenate(
+                    [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)]
+                )
+                if pad
+                else images
+            )
+            Cp = C + pad
+            chunked = images_p.reshape(
+                (Cp // cnn_chunk, cnn_chunk) + images.shape[1:]
+            )
             kp, desc, score, kp_valid = jax.tree.map(
-                lambda x: x.reshape((C,) + x.shape[2:]),
+                lambda x: x.reshape((Cp,) + x.shape[2:])[:C],
                 lax.map(jax.vmap(dc), chunked),
             )
 

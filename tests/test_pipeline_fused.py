@@ -135,3 +135,15 @@ def test_scanned_images_equal_per_frame_calls():
     np.testing.assert_allclose(
         np.asarray(final.P), np.asarray(st.P), rtol=1e-5, atol=1e-6
     )
+
+    # cnn_chunk that does NOT divide C: the stage pads the image stack with
+    # zero frames, runs chunked, slices back — bitwise equal to unchunked
+    final_c, _, outs_c = jax.jit(
+        lambda s, pre, fr, im: run_sequence_images(
+            cfg, params, s, pre, fr, im, top_k=top_k, cnn_chunk=2
+        )
+    )(state0, prefix, imu_frames, imgs)
+    np.testing.assert_array_equal(np.asarray(final_c.P), np.asarray(final.P))
+    np.testing.assert_array_equal(
+        np.asarray(outs_c.p_WI), np.asarray(outs.p_WI)
+    )
