@@ -256,6 +256,7 @@ def bench_fused(jax, jnp):
     fxy = 320.0
     cfg = reference_experiment_config(
         dtype="float32", gain_solver="ns", correction_dtype="float32",
+        gating_solver="ns", gating_ns_iters=12,
         K=((fxy, 0.0, W / 2.0), (0.0, fxy, H / 2.0), (0.0, 0.0, 1.0)),
         width=W, height=H,
         R_WC=tuple(map(tuple, data["R_WC_extrinsic"])),
@@ -272,8 +273,10 @@ def bench_fused(jax, jnp):
     def run(state, prefix, frames, images):
         final, _, _ = run_sequence_images(
             cfg, params, state, prefix, frames, images, top_k=300,
-            cnn_chunk=26,  # bound CNN-stage activations (104 frames would
-                           # hold ~4x the block1 feature maps otherwise)
+            cnn_chunk=None,  # whole-stack CNN: 104 frames of block1
+                             # activations fit v5e HBM, and chunking costs
+                             # ~0.25 ms/frame of lax.map overhead (round-5
+                             # probe_cnn_stage: 0.820 chunk-26 vs 0.567)
         )
         err = jnp.linalg.norm(final.imu.p_WI - gt_final)
         overflow = final.diag.n_track_overflow + final.diag.n_update_overflow
@@ -300,6 +303,7 @@ def bench_compensated_cost(jax, jnp, seq, base_hz):
     cfg = reference_experiment_config(
         dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16,
         gain_solver="ns", correction_dtype="compensated",
+        gating_solver="ns", gating_ns_iters=12,
     )
     hz, _ = bench_filter(jax, jnp, cfg, seq)
     return (base_hz / hz - 1.0) * 100.0, hz
@@ -381,16 +385,22 @@ def main():
     # well-conditioned; the island's cost is measured separately below
     # (extra.compensated_cost_pct). gain_solver="ns": Newton-Schulz matmuls
     # beat the serialized LU custom call on-chip (scripts/probe_solve.py).
+    # gating_solver="ns" (round 5): the Jacobi-scaled Newton-Schulz gate
+    # beats the gating kernel's in-scan grid overhead UNBATCHED too
+    # (full-shape 1036.9 -> 1288.9 Hz, small 2373.8 -> 2566.0; identical
+    # gate decisions on the circle fixture — tests/test_equivalences.py).
     cfg_small = reference_experiment_config(
         dtype="float32", f_max=192, u_max=32, k_max=256, desc_dim=16,
         gain_solver="ns", correction_dtype="float32",
+        gating_solver="ns", gating_ns_iters=12,
     )
     small_hz, small_flops = bench_filter(
         jax, jnp, cfg_small, seq, spread_out=spreads, key="filter_small"
     )
 
     cfg_full = reference_experiment_config(
-        dtype="float32", gain_solver="ns", correction_dtype="float32"
+        dtype="float32", gain_solver="ns", correction_dtype="float32",
+        gating_solver="ns", gating_ns_iters=12,
     )
     full_hz, full_flops = bench_filter(
         jax, jnp, cfg_full, seq, spread_out=spreads, key="filter_full"
