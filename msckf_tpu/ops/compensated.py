@@ -343,14 +343,30 @@ def refined_solve(B: DF, C, iters: int = 3, solver: str = "lu") -> DF:
 
     X = scaled_solve(C)
     lo = jnp.zeros_like(X)
-    for it in range(iters):
+    # Monotonic safeguard (round 5): refinement contracts ONLY while
+    # ||I - Bs M^{-1}|| < 1, i.e. roughly cond(Bs) < 1/eps_f32 ~ 1e7. On
+    # scale-unobservable trajectories (the reference's `classic`) the
+    # covariance grows without bound, the equilibrated system's GENUINE
+    # conditioning crosses that line, and each refinement step then
+    # MULTIPLIES the error — the island ended worse than plain f32 and
+    # finally NaN (found by the round-5 on-chip classic artifact run, tick
+    # ~8500/10798). The f64 island the chain substitutes (`MSCKF.py:604-614`)
+    # has no such cliff, so the island must not either: track the residual
+    # norm of every iterate and return the best one — never worse than the
+    # plain f32 solve the "none" path would use, double-word when the
+    # refinement converges (the common, well-conditioned case).
+    best_rn = jnp.full(X.shape[:-2] + (1, 1), jnp.inf, X.dtype)
+    best_X, best_lo = X, lo
+    for it in range(iters + 1):
         # Residual products: Ozaki passes for the early iterations (cheap MXU
         # passes; per-row relative error ~4e-13 on scale-heterogeneous
-        # systems), then ONE exact df_matmul residual for the final step —
-        # the converged error is set by the LAST residual's accuracy, so the
-        # fixed point keeps df's per-element double-word quality at ~1/iters
-        # of the old all-df cost (tests/test_compensated.py pins the <1e-8
-        # contract on raw cond ~1e14).
+        # systems), then ONE exact df_matmul residual for the final
+        # refinement — the converged error is set by the LAST residual's
+        # accuracy, so the fixed point keeps df's per-element double-word
+        # quality at ~1/iters of the old all-df cost
+        # (tests/test_compensated.py pins the <1e-8 contract on raw
+        # cond ~1e14). Iteration `iters` computes a residual only (for the
+        # safeguard selection of the final iterate).
         if it == iters - 1:
             BX = df_matmul(B.hi, X, A_lo=B.lo)
         else:
@@ -362,8 +378,25 @@ def refined_solve(B: DF, C, iters: int = 3, solver: str = "lu") -> DF:
         BX = df_add(BX, DF(tail, jnp.zeros_like(X)))
         # res = C - B X  (C exact f32)
         res = df_add(df_from(C), df_neg(BX))
+        # Selection residual in the EQUILIBRATED row frame (raw max-abs is
+        # dominated by large rows on scale-heterogeneous systems). The guard
+        # accepts the newest iterate unless its residual exceeds 4x the best
+        # seen: convergent runs keep the old always-take-the-final-iterate
+        # behavior exactly (floor-level measurement noise between converged
+        # iterates is way below 4x), while divergence — which grows by
+        # ~cond*eps per step, orders of magnitude — freezes the selection at
+        # the last healthy iterate. NaN/inf residuals compare False.
+        rn = jnp.max(
+            jnp.abs(r[:, None] * res.hi), axis=(-2, -1), keepdims=True
+        )
+        take = rn <= 4.0 * best_rn
+        best_rn = jnp.where(rn < best_rn, rn, best_rn)
+        best_X = jnp.where(take, X, best_X)
+        best_lo = jnp.where(take, lo, best_lo)
+        if it == iters:
+            break
         dX = scaled_solve(res.hi + res.lo)
         # X <- X + dX, keeping the sub-ulp tail
         s = two_sum(X, dX + lo)
         X, lo = s.hi, s.lo
-    return DF(X, lo)
+    return DF(best_X, best_lo)

@@ -56,9 +56,14 @@ def _ns_inverse(Bt: jnp.ndarray, iters: int, high_iters: int = 2,
     """
     D = Bt.shape[-1]
     eye = jnp.eye(D, dtype=Bt.dtype)
-    # ||Bt||_inf per batch item; spectrum of Bt is real positive (see module
-    # docstring) so eigenvalues of Bt X_0 land in (0, 1]
-    norm = jnp.max(jnp.sum(jnp.abs(Bt), axis=-1), axis=-1)
+    # seed scale: rho(Bt) <= sqrt(||Bt||_1 ||Bt||_inf) (tighter than the
+    # plain inf-norm by up to sqrt(D) on row/col-unbalanced systems), and
+    # the spectrum of Bt is real positive (see module docstring), so the
+    # eigenvalues of Bt X_0 land in (0, 1] and the iteration is contractive;
+    # the tighter bound starts the error lower, worth ~1-2 iterations
+    norm_inf = jnp.max(jnp.sum(jnp.abs(Bt), axis=-1), axis=-1)
+    norm_1 = jnp.max(jnp.sum(jnp.abs(Bt), axis=-2), axis=-1)
+    norm = jnp.sqrt(norm_inf) * jnp.sqrt(norm_1)
     X = eye / norm[..., None, None]
     if lowp_storage and iters > high_iters:
         # bf16 ARRAYS (not just matmul inputs) for the early iterations:
@@ -84,7 +89,12 @@ def _ns_inverse(Bt: jnp.ndarray, iters: int, high_iters: int = 2,
 
 
 def _ns_solve(Bt: jnp.ndarray, P: jnp.ndarray, iters: int) -> jnp.ndarray:
-    X = _ns_inverse(Bt, iters)
+    # bf16 STORAGE for the early iterations (round 5): the batched gain
+    # solve was the largest content term of the vmapped frame step
+    # (~1.3 ms/frame-batch at batch 32, profile_attrib); bf16 arrays halve
+    # its HBM traffic and the f32 finish restores the floor (self-correction
+    # argument in _ns_inverse's docstring — same change the chi2 gate made).
+    X = _ns_inverse(Bt, iters, lowp_storage=True)
     Y = X @ P
     # one polish step: err <- err * ||I - Bt X||
     return Y + X @ (P - Bt @ Y)

@@ -330,3 +330,32 @@ def test_refined_solve_ns_under_vmap():
     for b in range(batch):
         rel = np.abs(got[b] - wants[b]).max() / np.abs(wants[b]).max()
         assert rel < 1e-8, (b, rel)
+
+
+def test_refined_solve_divergence_safeguard():
+    """Beyond the f32 preconditioner's range (genuine cond > ~1/eps_f32) the
+    refinement iteration EXPANDS instead of contracting — each step
+    multiplies the error by ~cond*eps > 1. Found by the round-5 on-chip
+    `classic` artifact run: the scale-unobservable covariance grows until
+    cond(B) crosses the line, and the island ended NaN at tick ~8500 while
+    plain f32 stayed finite. The safeguard must freeze the selection at the
+    last healthy iterate: finite output, error comparable to the plain f32
+    solve (the island is never allowed to be WORSE than the arithmetic it
+    replaces)."""
+    rng = np.random.default_rng(7)
+    n = 80
+    for cond in (1e8, 1e10, 1e12):
+        Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        Bd = (Q * np.logspace(0, np.log10(cond), n)) @ Q.T
+        C = rng.normal(size=(n, 4))
+        B32 = Bd.astype(np.float32)
+        B = dw.DF(jnp.asarray(B32), jnp.asarray((Bd - B32).astype(np.float32)))
+        want = np.linalg.solve(Bd, C)
+        X = dw.refined_solve(B, jnp.asarray(C, jnp.float32), iters=5)
+        got = np.asarray(X.hi, np.float64) + np.asarray(X.lo, np.float64)
+        assert np.all(np.isfinite(got)), cond
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        x32 = np.linalg.solve(B32, C.astype(np.float32))
+        rel32 = np.abs(x32 - want).max() / np.abs(want).max()
+        # never meaningfully worse than the plain f32 LU answer
+        assert rel < 8.0 * max(rel32, 1e-7), (cond, rel, rel32)
