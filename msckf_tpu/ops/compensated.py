@@ -207,14 +207,19 @@ def _slices8(xn, lo=None, levels=6):
         # 2^23*step constant lets negative r drop a binade and produce
         # half-step slices that overflow bf16's 8-bit significand)
         c = jnp.float32(1.5 * 2.0 ** (17 - 8 * l))
-        s = (r + c) - c  # round to multiples of step_l (exact f32 ops)
+        # optimization_barrier: XLA-TPU's algebraic simplifier rewrites
+        # (r + c) - c -> r, silently collapsing the whole scheme to ONE
+        # bf16 pass (found by the round-5 on-chip classic artifact: island
+        # error 4e-3 instead of double-word; CPU XLA does not fire the
+        # rewrite, so CPU tests passed). The barrier pins the rounded sum.
+        s = jax.lax.optimization_barrier(r + c) - c  # round to step_l grid
         r = r - s  # exact: s agrees with r to within step_l/2
         if r2 is not None and l >= 2:
             # |lo| <= 2^-23-ish: from level 2 on its slices share the grid;
             # s + s2 is an exact multiple of step_l with |.| <= 256*step
             # (still bf16-representable; accumulation stays exact for
             # K <= 256)
-            s2 = (r2 + c) - c
+            s2 = jax.lax.optimization_barrier(r2 + c) - c
             r2 = r2 - s2
             s = s + s2
         out.append(s)
@@ -251,14 +256,23 @@ def ozaki_matmul(A, B, A_lo=None, B_lo=None, s_max: int = 5,
     ok = jnp.isfinite(cA) & jnp.isfinite(rB) & (cA > 0) & (rB > 0)
     g = jnp.where(ok, _exact_pow2(jnp.round(0.5 * (jnp.log2(
         jnp.where(ok, rB, 1.0)) - jnp.log2(jnp.where(ok, cA, 1.0))))), 1.0)
-    A = A * g[None, :]
-    B = B / g[:, None]
+    # ~ok lanes contribute exactly zero to the product (one factor is a
+    # zero slab) but their OTHER operand's magnitude would still dominate
+    # SA/SB and so the slicing grid — e.g. the information matrix's zero
+    # IMU-head columns against a 1e18-scale covariance truncated the
+    # live rows to ~2^-12 (round-5 classic artifact: island error 1.76e-4).
+    # Masking both sides keeps the product identical and the grids scaled
+    # by the lanes that actually matter.
+    A = jnp.where(ok[None, :], A * g[None, :], 0.0)
+    B = jnp.where(ok[:, None], B / g[:, None], 0.0)
     SA = _pow2_axis_scale(A, axis=1)  # (n, 1)
     SB = _pow2_axis_scale(B, axis=0)  # (1, m)
     An = A / SA
     Bn = B / SB
-    sA = _slices8(An, None if A_lo is None else (A_lo * g[None, :]) / SA, levels)
-    sB = _slices8(Bn, None if B_lo is None else (B_lo / g[:, None]) / SB, levels)
+    sA = _slices8(An, None if A_lo is None else jnp.where(
+        ok[None, :], (A_lo * g[None, :]) / SA, 0.0), levels)
+    sB = _slices8(Bn, None if B_lo is None else jnp.where(
+        ok[:, None], (B_lo / g[:, None]) / SB, 0.0), levels)
     acc = None
     for s in range(s_max + 1):
         for i in range(min(s + 1, levels)):

@@ -359,3 +359,43 @@ def test_refined_solve_divergence_safeguard():
         rel32 = np.abs(x32 - want).max() / np.abs(want).max()
         # never meaningfully worse than the plain f32 LU answer
         assert rel < 8.0 * max(rel32, 1e-7), (cond, rel, rel32)
+
+
+def test_slices8_grid_survives_compilation():
+    import jax
+    """XLA-TPU's algebraic simplifier rewrote (r + c) - c -> r, collapsing
+    the Ozaki slicing to ONE bf16 pass (round-5 on-chip classic artifact:
+    island error 4e-3). The optimization_barrier must keep slice 0 on the
+    level-0 grid and slice 1 nonzero under jit on EVERY backend."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-2, 2, (256,)).astype(np.float32))
+    sl = jax.jit(lambda x: dw._slices8(x, None, 6))(x)
+    s0 = np.asarray(sl[0], np.float64)
+    step0 = 2.0 ** -6
+    assert np.all(np.round(s0 / step0) * step0 == s0), "slice 0 off-grid"
+    assert np.any(np.asarray(sl[1]) != 0), "slice 1 empty: slicing collapsed"
+    resid = np.asarray(x, np.float64) - sum(np.asarray(s, np.float64) for s in sl)
+    assert np.max(np.abs(resid)) < 2.0 ** -52
+
+
+def test_ozaki_zero_head_against_large_scale():
+    import jax
+    """The filter's real operand pair: an information matrix with an
+    all-zero 15-column IMU head against a large-scale covariance. The
+    zero columns contribute nothing, but before the round-5 ok-masking
+    their (irrelevant) covariance rows dominated the slicing scale and
+    truncated the live rows to ~2^-12 (island error 1.76e-4 on classic)."""
+    rng = np.random.default_rng(5)
+    D = 100
+    G = rng.standard_normal((D, D))
+    P = (G @ G.T) * 1e18
+    H = rng.standard_normal((40, D))
+    H[:, :15] = 0.0
+    A = H.T @ H
+    A32 = jnp.asarray(A, jnp.float32)
+    P32 = jnp.asarray(P, jnp.float32)
+    want = np.asarray(A32, np.float64) @ np.asarray(P32, np.float64)
+    out = jax.jit(lambda a, p: dw.ozaki_matmul(a, p))(A32, P32)
+    got = np.asarray(out.hi, np.float64) + np.asarray(out.lo, np.float64)
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 1e-10, rel
